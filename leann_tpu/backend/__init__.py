@@ -1,0 +1,96 @@
+"""ANN backends (layer L1).
+
+The reference dispatches to native usearch-HNSW / diskann-rs Vamana
+(`src/backend/mod.rs:14-101`). Here both roles are filled by TPU engines:
+
+  flat    exact tiled matmul + top-k (the recall oracle; default for
+          small/medium corpora where brute force on MXU beats any graph)
+  vamana  fixed-degree graph + frontier-batched beam search
+          (aliases: "hnsw" and "diskann" map here so reference CLI
+          invocations keep working)
+
+A searcher takes a *batch* of query vectors — the core idiom shift from
+the reference's one-query-at-a-time `BackendSearcher::search`
+(`src/backend/traits.rs:11-30`).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+ALIASES = {"hnsw": "vamana", "diskann": "vamana", "exact": "flat"}
+BACKENDS = ("flat", "vamana")
+
+
+def resolve_backend(name: str) -> str:
+    name = (name or "flat").lower()
+    name = ALIASES.get(name, name)
+    if name not in BACKENDS:
+        raise ValueError(
+            f"unknown backend {name!r}; expected one of {BACKENDS} "
+            f"(aliases: {sorted(ALIASES)})"
+        )
+    return name
+
+
+class FlatSearcher:
+    """Exact search over the embeddings matrix (reference recompute-mode
+    semantics done natively: `src/index/recompute.rs:96-106`)."""
+
+    def __init__(self, vectors: np.ndarray, metric: str = "ip"):
+        self.vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self.metric = metric
+
+    def __len__(self) -> int:
+        return self.vectors.shape[0]
+
+    def search(
+        self, queries: np.ndarray, k: int, complexity: int = 64
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (idx [B,k] int, scores [B,k]); complexity is ignored —
+        flat search is always exact."""
+        from leann_tpu.ops.distance import exact_topk
+
+        scores, idx = exact_topk(queries, self.vectors, k, metric=self.metric)
+        return idx, scores
+
+
+class GraphSearcher:
+    """Frontier-batched beam search over a fixed-degree graph."""
+
+    def __init__(self, vectors: np.ndarray, graph, metric: str = "ip"):
+        from leann_tpu.ops.beam import BeamSearchEngine
+
+        self.metric = metric
+        self.engine = BeamSearchEngine(
+            vectors=vectors,
+            adjacency=graph.adjacency,
+            medoid=graph.medoid,
+            metric=metric,
+        )
+
+    def __len__(self) -> int:
+        return self.engine.n
+
+    def search(
+        self, queries: np.ndarray, k: int, complexity: int = 64
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """complexity = beam width, honored uniformly (the reference's HNSW
+        path silently ignores it — src/backend/hnsw.rs:83 — while its
+        DiskANN path uses it; we fix the inconsistency)."""
+        return self.engine.search(queries, k=k, beam_width=max(complexity, k))
+
+
+def load_searcher(base: str, meta) -> "FlatSearcher | GraphSearcher":
+    from leann_tpu.store.embeddings import EmbeddingsStore
+    from leann_tpu.store.graphfile import GraphFile, graph_path
+
+    backend = resolve_backend(meta.backend_name)
+    metric = getattr(meta, "metric", "ip")
+    vectors = EmbeddingsStore(base, meta.dimensions).all()
+    if backend == "flat":
+        return FlatSearcher(np.asarray(vectors), metric=metric)
+    graph = GraphFile.load(graph_path(base))
+    return GraphSearcher(np.asarray(vectors), graph, metric=metric)

@@ -1,0 +1,181 @@
+"""IndexSearcher: batched query pipeline over a built index.
+
+Pipeline parity with the reference (`src/index/searcher.rs:14-257`):
+over-fetch 5x when filtering/hybrid, BM25-union hybrid with min-max alpha
+fusion, post-filter during hydration, BM25-driven expansion for short
+queries. Differences by design:
+  - queries are *batched* [B, D] end to end (the TPU idiom)
+  - BM25 stats load from the build-time sidecar instead of being rebuilt
+    from the whole corpus per query (reference searcher.rs:149-151)
+  - search-time `complexity` is honored by every backend
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from leann_tpu.backend import load_searcher
+from leann_tpu.index.bm25 import Bm25Scorer, bm25_path, hybrid_rerank
+from leann_tpu.index.filter import MetadataFilter
+from leann_tpu.index import query as queryexp
+from leann_tpu.store.meta import IndexMeta, meta_path
+from leann_tpu.store.passages import PassageStore, read_ids
+
+
+@dataclass
+class SearchOptions:
+    top_k: int = 10
+    complexity: int = 64
+    filter: Optional[MetadataFilter] = None
+    hybrid: bool = False
+    hybrid_alpha: float = 0.7  # weight on vector scores (reference searcher.rs:47)
+    query_text: Optional[str] = None  # needed for hybrid / expansion
+    expand: bool = False
+
+
+@dataclass
+class SearchResult:
+    id: str
+    score: float
+    text: str
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+class IndexSearcher:
+    def __init__(self, base: str):
+        self.base = base
+        self.meta = IndexMeta.load(meta_path(base))
+        self.passages = PassageStore(base)
+        self.ids = read_ids(base)
+        self.backend = load_searcher(base, self.meta)
+        self._bm25: Optional[Bm25Scorer] = None
+        self._bm25_checked = False
+
+    @staticmethod
+    def load(base: str) -> "IndexSearcher":
+        return IndexSearcher(base)
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    # ---------------- BM25 sidecar ----------------
+
+    def bm25(self) -> Optional[Bm25Scorer]:
+        if not self._bm25_checked:
+            self._bm25_checked = True
+            path = bm25_path(self.base)
+            if os.path.exists(path):
+                self._bm25 = Bm25Scorer.load(path)
+            else:
+                # Fallback: build in memory from the passage file (slow path,
+                # matches reference behavior when no sidecar exists).
+                texts = [None] * len(self.ids)
+                pos = {pid: i for i, pid in enumerate(self.ids)}
+                for p in self.passages.iter_all():
+                    i = pos.get(p.id)
+                    if i is not None:
+                        texts[i] = p.text
+                self._bm25 = Bm25Scorer.build([t or "" for t in texts])
+        return self._bm25
+
+    def bm25_search(self, query: str, top_k: int) -> List[SearchResult]:
+        scorer = self.bm25()
+        if scorer is None:
+            return []
+        out = []
+        for int_id, score in scorer.search(query, top_k):
+            res = self._hydrate(int_id, score)
+            if res is not None:
+                out.append(res)
+        return out
+
+    def expand_query(self, query: str, max_terms: int = 5) -> str:
+        """BM25-driven expansion for short queries (reference
+        search.rs:173-187 + query.rs:128-171)."""
+        if not queryexp.should_expand(query):
+            return query
+        hits = self.bm25_search(query, 5)
+        return queryexp.expand_from_passages(
+            query, [h.text for h in hits], max_terms
+        )
+
+    # ---------------- main search ----------------
+
+    def search(
+        self, query_vectors: np.ndarray, options: Optional[SearchOptions] = None
+    ) -> List[List[SearchResult]]:
+        """Batched search: [B, D] (or [D]) -> per-query result lists."""
+        options = options or SearchOptions()
+        q = np.asarray(query_vectors, dtype=np.float32)
+        single = q.ndim == 1
+        if single:
+            q = q[None, :]
+
+        needs_overfetch = options.filter is not None or options.hybrid
+        fetch_k = options.top_k * 5 if needs_overfetch else options.top_k
+        fetch_k = min(fetch_k, len(self.ids))
+        if fetch_k == 0:
+            return [[] for _ in range(q.shape[0])]
+
+        idx, scores = self.backend.search(
+            q, k=fetch_k, complexity=max(options.complexity, fetch_k)
+        )
+
+        results: List[List[SearchResult]] = []
+        for row in range(q.shape[0]):
+            pairs = [
+                (int(i), float(s))
+                for i, s in zip(idx[row], scores[row])
+                if i >= 0
+            ]
+            if options.hybrid and options.query_text:
+                pairs = self._hybrid(pairs, options)
+            hydrated: List[SearchResult] = []
+            for int_id, score in pairs:
+                res = self._hydrate(int_id, score)
+                if res is None:
+                    continue
+                if options.filter is not None and not options.filter.matches(
+                    res.metadata
+                ):
+                    continue
+                hydrated.append(res)
+                if len(hydrated) >= options.top_k:
+                    break
+            results.append(hydrated)
+        return results
+
+    def search_one(
+        self, query_vector: np.ndarray, options: Optional[SearchOptions] = None
+    ) -> List[SearchResult]:
+        return self.search(np.asarray(query_vector), options)[0]
+
+    # ---------------- helpers ----------------
+
+    def _hybrid(self, pairs, options: SearchOptions):
+        scorer = self.bm25()
+        if scorer is None:
+            return pairs
+        bm25_scores = scorer.score_query(options.query_text or "")
+        # Union in BM25 top hits not found by the vector path, with vector
+        # score 0.0 (reference searcher.rs:154-165).
+        have = {i for i, _ in pairs}
+        for int_id, _ in scorer.search(options.query_text or "", options.top_k):
+            if int_id not in have:
+                pairs.append((int_id, 0.0))
+        return hybrid_rerank(pairs, bm25_scores, options.hybrid_alpha)
+
+    def _hydrate(self, int_id: int, score: float) -> Optional[SearchResult]:
+        if int_id < 0 or int_id >= len(self.ids):
+            return None
+        pid = self.ids[int_id]
+        passage = self.passages.get(pid)
+        if passage is None:
+            return None
+        return SearchResult(
+            id=pid, score=score, text=passage.text, metadata=passage.metadata
+        )
