@@ -1,0 +1,265 @@
+"""Frontier-batched best-first beam search over a fixed-degree graph.
+
+This is the TPU replacement for the reference's native graph searches
+(usearch HNSW walk `src/backend/hnsw.rs:79-88`, diskann-rs beam search
+`src/backend/diskann.rs:54-56`). The idiom shift: instead of one query
+pointer-chasing through the graph, a *batch* of queries advances in
+lockstep. Each hop:
+
+  1. every query picks its best not-yet-expanded beam entry
+  2. that node's fixed-degree neighbor row is gathered      [B, R]
+  3. neighbor vectors are gathered                          [B, R, D]
+  4. scores = einsum('brd,bd->br') — one MXU-shaped contraction for
+     the whole batch instead of B*R scalar distance calls
+  5. candidates are deduped (in-beam check + hashed visited table) and
+     merged into the beam with jax.lax.top_k
+
+All shapes are static; the loop is a lax.while_loop that exits when every
+beam entry is expanded (natural best-first convergence) or at max_iters.
+`complexity` = beam width, honored uniformly (the reference's HNSW path
+silently ignores it — hnsw.rs:83).
+
+Visited-set semantics: a per-query open-addressed hash table of H slots
+(ids overwrite on collision). False negatives only cause duplicate
+scoring — never incorrectness — because the in-beam dedup prevents
+cycles in the beam itself.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = float("-inf")
+HASH_MULT = np.uint32(2654435761)  # Knuth multiplicative hash
+
+
+def _hash_slot(ids: jnp.ndarray, hash_bits: int) -> jnp.ndarray:
+    h = (ids.astype(jnp.uint32) * HASH_MULT) >> np.uint32(32 - hash_bits)
+    return h.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_iters", "metric", "hash_bits"),
+)
+def beam_search_batch(
+    queries: jnp.ndarray,      # [B, D] f32
+    vectors: jnp.ndarray,      # [N+1, D] f32, row N = zeros (sentinel)
+    adjacency: jnp.ndarray,    # [N+1, R] int32, pad = N
+    sq_norms: jnp.ndarray,     # [N+1] f32 (|v|^2; only used for l2)
+    entry: jnp.ndarray,        # [] int32 entry node (medoid)
+    exclude: jnp.ndarray,      # [B] int32 id to never return (-1 = none)
+    beam_width: int,
+    max_iters: int,
+    metric: str,
+    hash_bits: int = 12,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (beam_ids [B, L] desc-sorted by score, beam_scores [B, L]).
+    Sentinel/empty slots have id = N and score = -inf."""
+    b, d = queries.shape
+    n_sentinel = vectors.shape[0] - 1
+    r = adjacency.shape[1]
+    L = beam_width
+    H = 1 << hash_bits
+
+    def score_block(q, vecs, ids):
+        # q: [B, D]; vecs: [B, R, D]; -> [B, R] (higher = better)
+        dots = jnp.einsum(
+            "brd,bd->br", vecs, q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "l2":
+            return 2.0 * dots - sq_norms[ids]
+        return dots
+
+    # --- init: beam holds the entry point only ---
+    entry_vec = vectors[entry][None, :].repeat(b, axis=0)          # [B, D]
+    entry_score = score_block(
+        queries, entry_vec[:, None, :], jnp.full((b, 1), entry, jnp.int32)
+    )[:, 0]
+    beam_ids = jnp.full((b, L), n_sentinel, dtype=jnp.int32)
+    beam_ids = beam_ids.at[:, 0].set(entry)
+    beam_scores = jnp.full((b, L), NEG_INF, dtype=jnp.float32)
+    # The entry keeps its real score even when excluded (so traversal can
+    # start from it); `exclude` only gates *candidate* admission. Callers
+    # that exclude a node (the Vamana builder excluding the point being
+    # inserted) drop it from the returned beam themselves.
+    beam_scores = beam_scores.at[:, 0].set(entry_score)
+    expanded = jnp.zeros((b, L), dtype=jnp.bool_)
+    visited = jnp.full((b, H), -1, dtype=jnp.int32)
+    # mark entry visited
+    visited = visited.at[
+        jnp.arange(b), _hash_slot(jnp.full((b,), entry, jnp.int32), hash_bits)
+    ].set(entry)
+
+    def unexpanded_mask(state):
+        beam_ids, beam_scores, expanded, visited, it = state
+        return (~expanded) & (beam_ids != n_sentinel) & (beam_scores > NEG_INF)
+
+    def cond(state):
+        it = state[4]
+        return (it < max_iters) & jnp.any(unexpanded_mask(state))
+
+    def body(state):
+        beam_ids, beam_scores, expanded, visited, it = state
+        mask = unexpanded_mask(state)
+        sel_scores = jnp.where(mask, beam_scores, NEG_INF)
+        u_pos = jnp.argmax(sel_scores, axis=1)                      # [B]
+        has_unexp = jnp.any(mask, axis=1)                           # [B]
+        u = jnp.take_along_axis(beam_ids, u_pos[:, None], axis=1)[:, 0]
+        u = jnp.where(has_unexp, u, 0)
+
+        # mark u expanded (no-op rows keep their flags via the where)
+        onehot = jax.nn.one_hot(u_pos, L, dtype=jnp.bool_)
+        expanded = expanded | (onehot & has_unexp[:, None])
+
+        nbrs = adjacency[u]                                         # [B, R]
+
+        # --- validity masks ---
+        valid = (nbrs != n_sentinel) & has_unexp[:, None]
+        valid &= nbrs != exclude[:, None]
+        # duplicate within the row (two parents pointing at same node)
+        dup = (nbrs[:, :, None] == nbrs[:, None, :]) & (
+            jax.lax.broadcasted_iota(jnp.int32, (1, r, r), 2)
+            < jax.lax.broadcasted_iota(jnp.int32, (1, r, r), 1)
+        )
+        valid &= ~jnp.any(dup, axis=2)
+        # already in beam
+        in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
+        valid &= ~in_beam
+        # visited hash check
+        slots = _hash_slot(nbrs, hash_bits)                         # [B, R]
+        seen = jnp.take_along_axis(visited, slots, axis=1) == nbrs
+        valid &= ~seen
+        # insert valid nbrs into visited (collisions overwrite: benign)
+        row = jnp.arange(b)[:, None].repeat(r, axis=1)
+        visited = visited.at[row, slots].set(
+            jnp.where(valid, nbrs, jnp.take_along_axis(visited, slots, axis=1)),
+            mode="drop",
+        )
+
+        # --- score candidates: the hot gather + contraction ---
+        nvecs = vectors[nbrs]                                       # [B, R, D]
+        cand_scores = score_block(queries, nvecs, nbrs)
+        cand_scores = jnp.where(valid, cand_scores, NEG_INF)
+        cand_ids = jnp.where(valid, nbrs, n_sentinel)
+
+        # --- merge into beam ---
+        all_scores = jnp.concatenate([beam_scores, cand_scores], axis=1)
+        all_ids = jnp.concatenate([beam_ids, cand_ids], axis=1)
+        all_exp = jnp.concatenate(
+            [expanded, jnp.zeros((b, r), dtype=jnp.bool_)], axis=1
+        )
+        top_scores, pos = jax.lax.top_k(all_scores, L)
+        top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        top_exp = jnp.take_along_axis(all_exp, pos, axis=1)
+        return (top_ids, top_scores, top_exp, visited, it + 1)
+
+    state = (beam_ids, beam_scores, expanded, visited, jnp.int32(0))
+    beam_ids, beam_scores, expanded, visited, _ = jax.lax.while_loop(
+        cond, body, state
+    )
+    return beam_ids, beam_scores
+
+
+def _bucket(b: int) -> int:
+    """Pad batch sizes to powers of two so jit caches stay small."""
+    size = 8
+    while size < b:
+        size *= 2
+    return size
+
+
+class BeamSearchEngine:
+    """Host-facing wrapper: owns device-resident vectors + adjacency."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        adjacency: np.ndarray,
+        medoid: int,
+        metric: str = "ip",
+        max_iters: Optional[int] = None,
+        hash_bits: int = 12,
+    ):
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self.n, self.d = vectors.shape
+        self.metric_in = metric
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+            metric = "ip"
+        self.metric = metric
+        self.hash_bits = hash_bits
+        self.max_iters = max_iters
+
+        # sentinel row N: zero vector
+        self.vectors = jnp.asarray(
+            np.concatenate([vectors, np.zeros((1, self.d), np.float32)])
+        )
+        adj = np.ascontiguousarray(adjacency, dtype=np.int32)
+        if adj.shape[0] == self.n:
+            # sentinel row points nowhere
+            adj = np.concatenate(
+                [adj, np.full((1, adj.shape[1]), self.n, np.int32)]
+            )
+        self.adjacency = jnp.asarray(adj)
+        vf = np.asarray(self.vectors, dtype=np.float32)
+        self.sq_norms = jnp.asarray((vf * vf).sum(axis=1))
+        self.medoid = jnp.int32(medoid)
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int = 10,
+        beam_width: int = 64,
+        exclude: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (idx [B, k] int32 with -1 padding, scores [B, k])."""
+        ids, scores = self.search_beam(queries, beam_width, exclude)
+        k = min(k, ids.shape[1])
+        idx = np.asarray(ids[:, :k])
+        sc = np.asarray(scores[:, :k])
+        idx = np.where(idx == self.n, -1, idx)
+        return idx, sc
+
+    def search_beam(
+        self,
+        queries: np.ndarray,
+        beam_width: int = 64,
+        exclude: Optional[np.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full beam (ids, scores) — used by the Vamana builder."""
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        bb = _bucket(b)
+        if bb != b:
+            q = np.concatenate([q, np.zeros((bb - b, self.d), np.float32)])
+        exc = np.full((bb,), -1, dtype=np.int32)
+        if exclude is not None:
+            exc[:b] = np.asarray(exclude, dtype=np.int32)
+        max_iters = self.max_iters or (4 * beam_width + 32)
+        ids, scores = beam_search_batch(
+            jnp.asarray(q),
+            self.vectors,
+            self.adjacency,
+            self.sq_norms,
+            self.medoid,
+            jnp.asarray(exc),
+            beam_width=beam_width,
+            max_iters=max_iters,
+            metric=self.metric,
+            hash_bits=self.hash_bits,
+        )
+        return ids[:b], scores[:b]

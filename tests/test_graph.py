@@ -1,0 +1,147 @@
+"""Graph engine tests: frontier-batched beam search + Vamana build,
+validated against the exact-search oracle (recall@k)."""
+
+import numpy as np
+import pytest
+
+from leann_tpu.ops.beam import BeamSearchEngine
+from leann_tpu.ops.distance import exact_topk
+from leann_tpu.ops.vamana import build_vamana, robust_prune_batch
+
+
+def make_corpus(n=2000, d=32, seed=0, clusters=20):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 3
+    assign = rng.integers(0, clusters, n)
+    x = centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    return x.astype(np.float32)
+
+
+def recall_at_k(idx, oracle_idx, k):
+    hits = 0
+    for row, orow in zip(idx, oracle_idx):
+        hits += len(set(row[:k].tolist()) & set(orow[:k].tolist()))
+    return hits / (len(idx) * k)
+
+
+def test_robust_prune_occlusion():
+    import jax.numpy as jnp
+
+    # 1-D points: p at 0; candidates at 1, 2, 10.
+    # candidate 1 (closest) occludes 2 when alpha*d(1,2) <= d(p,2):
+    # 1.0 * 1 <= 4 -> occluded. 10 survives: 1.0 * 81 > 100? no: 81 <= 100
+    # -> occluded too at alpha=1. With alpha=1.3: 1.3*81=105.3 > 100 -> kept.
+    p = jnp.zeros((1, 1), jnp.float32)
+    ids = jnp.asarray([[0, 1, 2]], jnp.int32)
+    vecs = jnp.asarray([[[1.0], [2.0], [10.0]]], jnp.float32)
+    out = np.asarray(
+        robust_prune_batch(p, ids, vecs, jnp.int32(99), jnp.float32(1.3), 3)
+    )
+    assert out[0, 0] == 0  # closest kept first
+    assert 1 not in out[0]  # occluded by candidate at 1.0
+    assert 2 in out[0]     # alpha=1.3 keeps the far one
+
+    out1 = np.asarray(
+        robust_prune_batch(p, ids, vecs, jnp.int32(99), jnp.float32(1.0), 3)
+    )
+    assert out1[0, 0] == 0
+    assert set(out1[0, 1:].tolist()) == {99}  # everything else occluded
+
+
+def test_robust_prune_dedup_and_sentinel():
+    import jax.numpy as jnp
+
+    p = jnp.zeros((1, 2), jnp.float32)
+    ids = jnp.asarray([[5, 5, 7, 99]], jnp.int32)  # dup 5, sentinel 99
+    vecs = jnp.asarray(
+        [[[1.0, 0.0], [1.0, 0.0], [0.0, 5.0], [0.0, 0.0]]], jnp.float32
+    )
+    out = np.asarray(
+        robust_prune_batch(p, ids, vecs, jnp.int32(99), jnp.float32(2.0), 4)
+    )
+    # 5 appears exactly once
+    assert (out[0] == 5).sum() == 1
+    assert 7 in out[0]
+
+
+def test_beam_search_on_exact_knn_graph():
+    """On a ground-truth kNN graph, beam search must achieve ~perfect
+    recall — isolates traversal correctness from build quality.
+
+    Uses a single gaussian cloud: a kNN graph over well-separated
+    clusters is *disconnected*, which no traversal can cross (that's the
+    problem Vamana's alpha-prune long edges exist to solve)."""
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1000, 16)).astype(np.float32)
+    # build exact 16-NN graph (excluding self)
+    _, nn_idx = exact_topk(x, x, 17, metric="l2")
+    adjacency = np.zeros((1000, 16), dtype=np.int32)
+    for i in range(1000):
+        row = [j for j in nn_idx[i].tolist() if j != i][:16]
+        adjacency[i] = row
+    engine = BeamSearchEngine(x, adjacency, medoid=0, metric="l2")
+
+    queries = np.random.default_rng(2).standard_normal((32, 16)).astype(
+        np.float32
+    )
+    idx, scores = engine.search(queries, k=10, beam_width=64)
+    _, oracle = exact_topk(queries, x, 10, metric="l2")
+    rec = recall_at_k(idx, oracle, 10)
+    assert rec >= 0.95, f"recall@10 = {rec}"
+    # scores are sorted descending
+    assert (np.diff(scores, axis=1) <= 1e-5).all()
+
+
+def test_beam_excludes_requested_ids():
+    # single cloud: a raw kNN graph over separated clusters is disconnected
+    x = np.random.default_rng(3).standard_normal((500, 16)).astype(np.float32)
+    _, nn_idx = exact_topk(x, x, 9, metric="l2")
+    adjacency = np.asarray(
+        [[j for j in nn_idx[i].tolist() if j != i][:8] for i in range(500)],
+        dtype=np.int32,
+    )
+    engine = BeamSearchEngine(x, adjacency, medoid=0, metric="l2")
+    # query with each point's own vector but exclude it
+    qids = np.arange(16, dtype=np.int32)
+    idx, _ = engine.search(x[:16], k=5, beam_width=32, exclude=qids)
+    for row, qid in zip(idx, qids):
+        assert qid not in row[1:]  # may only appear as the entry slot 0
+    # without exclusion the point finds itself
+    idx2, _ = engine.search(x[:16], k=1, beam_width=32)
+    assert (idx2[:, 0] == np.arange(16)).mean() >= 0.9
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip", "cosine"])
+def test_vamana_build_recall(metric):
+    x = make_corpus(n=1500, d=24, seed=4)
+    if metric in ("ip", "cosine"):
+        x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    adjacency, medoid = build_vamana(
+        x, graph_degree=24, complexity=48, alpha=1.2, metric=metric,
+        wave_size=256, seed=0,
+    )
+    assert adjacency.shape == (1500, 24)
+    assert 0 <= medoid < 1500
+    # no self-edges
+    self_edges = (adjacency == np.arange(1500)[:, None]).sum()
+    assert self_edges == 0
+
+    engine = BeamSearchEngine(x, adjacency, medoid, metric=metric)
+    rng = np.random.default_rng(5)
+    queries = x[rng.integers(0, 1500, 32)] + 0.01 * rng.standard_normal(
+        (32, 24)
+    ).astype(np.float32)
+    idx, _ = engine.search(queries, k=10, beam_width=64)
+    _, oracle = exact_topk(queries, x, 10, metric=metric)
+    rec = recall_at_k(idx, oracle, 10)
+    assert rec >= 0.85, f"vamana recall@10 = {rec} ({metric})"
+
+
+def test_vamana_degree_bound_and_sentinel_padding():
+    x = make_corpus(n=300, d=8, seed=6)
+    adjacency, _ = build_vamana(
+        x, graph_degree=12, complexity=24, metric="l2", wave_size=128
+    )
+    assert adjacency.shape == (300, 12)
+    # all entries are valid ids or the sentinel (n)
+    assert ((adjacency >= 0) & (adjacency <= 300)).all()

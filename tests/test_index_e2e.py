@@ -122,3 +122,22 @@ def test_backend_alias_hnsw_accepted(tmp_index_base):
     assert resolve_backend("hnsw") == "vamana"
     assert resolve_backend("diskann") == "vamana"
     assert resolve_backend("flat") == "flat"
+
+
+def test_vamana_backend_end_to_end(tmp_index_base):
+    """build -> graph file -> GraphSearcher -> correct retrieval."""
+    rng = np.random.default_rng(7)
+    provider = EmbeddingProvider(mode="fake", dimensions=24)
+    texts = [f"document number {i} about topic {i % 7}" for i in range(300)]
+    vecs = provider.embed(texts)
+    builder = IndexBuilder(tmp_index_base, dim=24, backend="vamana", metric="ip")
+    for i, (t, v) in enumerate(zip(texts, vecs)):
+        builder.add(f"d{i}", t, v, {"i": i})
+    meta = builder.build(graph_degree=16, complexity=32)
+    assert meta.backend_name == "vamana"
+    assert meta.backend_kwargs["graph_degree"] == 16
+
+    searcher = IndexSearcher.load(tmp_index_base)
+    q = provider.embed([texts[123]])
+    results = searcher.search(q, SearchOptions(top_k=5, complexity=48))[0]
+    assert results[0].id == "d123"
