@@ -1,0 +1,45 @@
+"""`serve` — HTTP API server (reference `src/cli/serve.rs:32-316`)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from leann_tpu.cli.common import provider_from_meta, resolve_query_template
+from leann_tpu.index.searcher import IndexSearcher
+from leann_tpu.server.http import ServerState, serve
+from leann_tpu.store.locate import find_index, index_base
+from leann_tpu.store.meta import IndexMeta, meta_path
+
+
+def add_parser(sub):
+    p = sub.add_parser("serve", help="Start HTTP API server")
+    p.add_argument("index_name", nargs="?", default=None)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=3000)
+    p.add_argument("--cors", action="store_true")
+    p.add_argument("--embedding-api-key", default=os.environ.get("OPENAI_API_KEY"))
+    p.set_defaults(func=run)
+
+
+def run(args) -> int:
+    index_name = args.index_name or os.path.basename(os.getcwd())
+    try:
+        index_dir = find_index(index_name)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    base = index_base(index_dir)
+    meta = IndexMeta.load(meta_path(base))
+    provider = provider_from_meta(meta, api_key=args.embedding_api_key)
+    template = resolve_query_template(None, meta)
+    searcher = IndexSearcher.load(base)
+    state = ServerState(searcher, provider, template, index_name)
+    server = serve(state, host=args.host, port=args.port, cors=args.cors)
+    print(f"Serving index '{index_name}' on http://{args.host}:{args.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("\nShutting down.")
+        server.shutdown()
+    return 0

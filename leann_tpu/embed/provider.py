@@ -45,6 +45,8 @@ class EmbeddingProvider:
         if mode == "fake":
             from leann_tpu.embed.fake import FakeEmbedding
 
+            # the fake embedder is symmetric: never apply registry prefixes
+            self.model = "fake"
             self._impl = FakeEmbedding(dimensions or 64)
         elif mode == "openai":
             from leann_tpu.embed.openai import OpenAIEmbedding

@@ -160,58 +160,129 @@ def build_vamana(
 
     for pass_i, pass_alpha in enumerate(alphas):
         order = rng.permutation(n)
-        alpha_dev = jnp.float32(pass_alpha)
-        for start in range(0, n, wave_size):
-            wave = order[start : start + wave_size]
-            w = len(wave)
-            wb = _pad_pow2(w, min(wave_size, 64))
-            wave_pad = np.concatenate(
-                [wave, np.zeros(wb - w, dtype=np.int64)]
-            ).astype(np.int32)
-            q = np.asarray(vectors[wave_pad])                       # [wb, D]
-
-            beam_ids, _ = beam_search_batch(
-                jnp.asarray(q),
-                vecs_dev,
-                adjacency,
-                sq_norms,
-                medoid_dev,
-                jnp.asarray(wave_pad),   # exclude self
-                beam_width=L,
-                max_iters=max_iters,
-                metric=search_metric,
-            )
-            # candidate pool: beam ++ current neighbors of p
-            cur = adjacency[wave_pad]                               # [wb, R]
-            cand_ids = jnp.concatenate([beam_ids, cur], axis=1)    # [wb, L+R]
-            # self can appear via current-neighbor lists: mask it
-            cand_ids = jnp.where(
-                cand_ids == jnp.asarray(wave_pad)[:, None], sentinel, cand_ids
-            )
-            cand_vecs = vecs_dev[cand_ids]
-            new_nbrs = robust_prune_batch(
-                jnp.asarray(q), cand_ids, cand_vecs, sentinel, alpha_dev, r
-            )                                                       # [wb, R]
-            adjacency = adjacency.at[jnp.asarray(wave_pad[:w])].set(
-                new_nbrs[:w]
-            )
-
-            # --- reverse edges ---
-            nb_host = np.asarray(new_nbrs[:w])
-            src = np.repeat(wave[:w].astype(np.int32), r)
-            dst = nb_host.reshape(-1)
-            keep = dst != n
-            src, dst = src[keep], dst[keep]
-            if dst.size:
-                adjacency = _apply_reverse_edges(
-                    adjacency, vecs_dev, dst, src, n, r,
-                    incoming_cap, alpha_dev, sentinel,
-                )
+        adjacency = _insert_waves(
+            vectors, vecs_dev, sq_norms, adjacency, medoid_dev, order,
+            beam_width=L, graph_degree=r, alpha=pass_alpha,
+            metric=search_metric, wave_size=wave_size,
+            incoming_cap=incoming_cap, max_iters=max_iters,
+        )
         if verbose:
             print(f"[vamana] pass {pass_i + 1}/{len(alphas)} done (alpha={pass_alpha})")
 
     adj_final = np.asarray(adjacency[:n])
     return adj_final, medoid
+
+
+def insert_points(
+    vectors: np.ndarray,
+    adjacency: np.ndarray,
+    medoid: int,
+    new_ids: np.ndarray,
+    graph_degree: int = 32,
+    complexity: int = 64,
+    alpha: float = 1.2,
+    metric: str = "ip",
+    wave_size: int = 1024,
+    incoming_cap: int = 8,
+    seed: int = 0,
+) -> np.ndarray:
+    """Incremental insertion: `vectors` is the FULL corpus (old + new);
+    `adjacency` is [N_total, R] with the new rows arbitrary (they get
+    replaced). Runs one insertion pass over `new_ids` only — the TPU
+    equivalent of the reference's HNSW `add_to_index`
+    (`src/backend/hnsw.rs:142-191`; its DiskANN backend refuses updates,
+    `src/cli/update.rs:72-75`, which this engine supports)."""
+    vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+    n, d = vectors.shape
+    if metric == "cosine":
+        vectors = vectors / (np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12)
+        search_metric = "ip"
+    else:
+        search_metric = metric
+    L = max(complexity, graph_degree + 1)
+    vecs_dev = jnp.asarray(
+        np.concatenate([vectors, np.zeros((1, d), np.float32)])
+    )
+    vf = np.asarray(vecs_dev)
+    sq_norms = jnp.asarray((vf * vf).sum(axis=1))
+    adj = np.ascontiguousarray(adjacency, dtype=np.int32)
+    adj_dev = jnp.asarray(
+        np.concatenate([adj, np.full((1, adj.shape[1]), n, np.int32)])
+    )
+    order = np.random.default_rng(seed).permutation(np.asarray(new_ids))
+    adj_dev = _insert_waves(
+        vectors, vecs_dev, sq_norms, adj_dev, jnp.int32(medoid), order,
+        beam_width=L, graph_degree=graph_degree, alpha=alpha,
+        metric=search_metric, wave_size=wave_size,
+        incoming_cap=incoming_cap, max_iters=2 * L + 16,
+    )
+    return np.asarray(adj_dev[:n])
+
+
+def _insert_waves(
+    vectors: np.ndarray,
+    vecs_dev: jnp.ndarray,
+    sq_norms: jnp.ndarray,
+    adjacency: jnp.ndarray,
+    medoid_dev: jnp.ndarray,
+    order: np.ndarray,
+    beam_width: int,
+    graph_degree: int,
+    alpha: float,
+    metric: str,
+    wave_size: int,
+    incoming_cap: int,
+    max_iters: int,
+) -> jnp.ndarray:
+    n = vecs_dev.shape[0] - 1
+    r = graph_degree
+    sentinel = jnp.int32(n)
+    alpha_dev = jnp.float32(alpha)
+    for start in range(0, len(order), wave_size):
+        wave = order[start : start + wave_size]
+        w = len(wave)
+        wb = _pad_pow2(w, min(wave_size, 64))
+        wave_pad = np.concatenate(
+            [wave, np.zeros(wb - w, dtype=np.int64)]
+        ).astype(np.int32)
+        q = np.asarray(vectors[wave_pad])                           # [wb, D]
+
+        beam_ids, _ = beam_search_batch(
+            jnp.asarray(q),
+            vecs_dev,
+            adjacency,
+            sq_norms,
+            medoid_dev,
+            jnp.asarray(wave_pad),   # exclude self
+            beam_width=beam_width,
+            max_iters=max_iters,
+            metric=metric,
+        )
+        # candidate pool: beam ++ current neighbors of p
+        cur = adjacency[wave_pad]                                   # [wb, R]
+        cand_ids = jnp.concatenate([beam_ids, cur], axis=1)
+        # self can appear via current-neighbor lists: mask it
+        cand_ids = jnp.where(
+            cand_ids == jnp.asarray(wave_pad)[:, None], sentinel, cand_ids
+        )
+        cand_vecs = vecs_dev[cand_ids]
+        new_nbrs = robust_prune_batch(
+            jnp.asarray(q), cand_ids, cand_vecs, sentinel, alpha_dev, r
+        )
+        adjacency = adjacency.at[jnp.asarray(wave_pad[:w])].set(new_nbrs[:w])
+
+        # --- reverse edges ---
+        nb_host = np.asarray(new_nbrs[:w])
+        src = np.repeat(wave[:w].astype(np.int32), r)
+        dst = nb_host.reshape(-1)
+        keep = dst != n
+        src, dst = src[keep], dst[keep]
+        if dst.size:
+            adjacency = _apply_reverse_edges(
+                adjacency, vecs_dev, dst, src, n, r,
+                incoming_cap, alpha_dev, sentinel,
+            )
+    return adjacency
 
 
 def _apply_reverse_edges(

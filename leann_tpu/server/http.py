@@ -1,0 +1,153 @@
+"""HTTP API server on stdlib ThreadingHTTPServer.
+
+Route parity with the reference's axum server (`src/cli/serve.rs:90-96`):
+  GET  /          service info
+  GET  /health    "ok"
+  GET  /indexes   enumerate available indexes
+  GET  /info      loaded-index metadata
+  POST /search    {query, top_k?, complexity?, filter?, hybrid?} -> results
+                  with took_ms (serve.rs:294)
+Like the reference, the searcher + provider load once and are shared
+across requests (serve.rs:82-87); unlike the CLI path which reloads per
+invocation. Optional permissive CORS via --cors.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from leann_tpu.index.filter import MetadataFilter
+from leann_tpu.index.searcher import IndexSearcher, SearchOptions
+from leann_tpu.store.locate import list_indexes
+from leann_tpu.version import __version__
+
+
+class ServerState:
+    def __init__(self, searcher: IndexSearcher, provider, query_template, index_name):
+        self.searcher = searcher
+        self.provider = provider
+        self.query_template = query_template
+        self.index_name = index_name
+        self.lock = threading.Lock()
+
+
+def make_handler(state: ServerState, cors: bool):
+    class Handler(BaseHTTPRequestHandler):
+        server_version = f"leann-tpu/{__version__}"
+
+        def log_message(self, fmt, *args):  # route through stdout quietly
+            pass
+
+        def _send(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            if cors:
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Headers", "Content-Type")
+                self.send_header("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_OPTIONS(self):
+            self._send(204, {})
+
+        def do_GET(self):
+            if self.path == "/" :
+                self._send(200, {
+                    "service": "leann-tpu",
+                    "version": __version__,
+                    "index": state.index_name,
+                    "endpoints": ["/health", "/indexes", "/info", "/search"],
+                })
+            elif self.path == "/health":
+                self._send(200, {"status": "ok"})
+            elif self.path == "/indexes":
+                self._send(200, {
+                    "indexes": [
+                        {"name": name, "scope": scope, "path": path}
+                        for name, path, scope in list_indexes()
+                    ]
+                })
+            elif self.path == "/info":
+                meta = state.searcher.meta
+                self._send(200, {
+                    "index": state.index_name,
+                    "backend": meta.backend_name,
+                    "embedding_model": meta.embedding_model,
+                    "embedding_mode": meta.embedding_mode,
+                    "dimensions": meta.dimensions,
+                    "passage_count": meta.passage_count,
+                    "metric": meta.metric,
+                    "is_pruned": meta.is_pruned,
+                })
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/search":
+                self._send(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                self._send(400, {"error": "invalid JSON body"})
+                return
+            query = req.get("query")
+            if not query or not isinstance(query, str):
+                self._send(400, {"error": "missing required field: query"})
+                return
+            top_k = int(req.get("top_k", 5))
+            complexity = int(req.get("complexity", 64))
+            filt: Optional[MetadataFilter] = None
+            if req.get("filter"):
+                filt = MetadataFilter.parse(str(req["filter"]))
+            t0 = time.time()
+            try:
+                with state.lock:
+                    qvec = state.provider.embed_with_template(
+                        [query], state.query_template
+                    )
+                results = state.searcher.search(
+                    qvec,
+                    SearchOptions(
+                        top_k=top_k,
+                        complexity=complexity,
+                        filter=filt,
+                        hybrid=bool(req.get("hybrid", False)),
+                        hybrid_alpha=float(req.get("hybrid_alpha", 0.7)),
+                        query_text=query,
+                    ),
+                )[0]
+            except Exception as e:
+                self._send(500, {"error": str(e)})
+                return
+            took_ms = int((time.time() - t0) * 1000)
+            self._send(200, {
+                "results": [
+                    {
+                        "id": r.id,
+                        "score": r.score,
+                        "text": r.text,
+                        "metadata": r.metadata,
+                    }
+                    for r in results
+                ],
+                "took_ms": took_ms,
+            })
+
+    return Handler
+
+
+def serve(
+    state: ServerState, host: str = "127.0.0.1", port: int = 3000,
+    cors: bool = False,
+) -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), make_handler(state, cors))
+    return server
