@@ -133,6 +133,12 @@ def run(args) -> int:
     chunker = SmartChunker(
         chunk_size, chunk_overlap, ChunkingStrategy.parse(args.chunking_strategy)
     )
+    # Local-mode recompute indexes persist pre-tokenized passages for
+    # on-TPU traversal-time re-embedding.
+    tokenizer_encoder = None
+    if args.recompute and provider.mode == "local":
+        tokenizer_encoder = provider._impl.encoder
+
     builder = StreamingIndexBuilder(
         base,
         dim=provider.dimensions,
@@ -143,6 +149,7 @@ def run(args) -> int:
         embedding_options=_embedding_options(args, provider),
         is_recompute=args.recompute,
         build_bm25=not args.no_bm25,
+        tokenizer_encoder=tokenizer_encoder,
     )
 
     batch_size = args.embedding_batch_size or (

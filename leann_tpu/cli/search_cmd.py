@@ -63,12 +63,29 @@ def run(args) -> int:
     )
 
     if meta.is_pruned:
-        from leann_tpu.index.recompute import RecomputeSearcher
+        from leann_tpu.store.graphfile import GraphFile
+        from leann_tpu.store.tokens import tokens_exist
 
-        doc_template = provider.document_prefix() or None
-        rs = RecomputeSearcher(base, provider, document_template=doc_template)
         qvec = provider.embed_with_template([query], template)[0]
-        results = rs.search(qvec, top_k=args.top_k, filter=filt)
+        if (
+            meta.embedding_mode == "local"
+            and GraphFile.exists(base)
+            and tokens_exist(base)
+        ):
+            # fused path: graph traversal + on-TPU re-embedding
+            from leann_tpu.index.recompute import GraphRecomputeSearcher
+
+            grs = GraphRecomputeSearcher(base, provider._impl.encoder)
+            results = grs.search(
+                qvec, top_k=args.top_k, complexity=args.complexity,
+                filter=filt,
+            )
+        else:
+            from leann_tpu.index.recompute import RecomputeSearcher
+
+            doc_template = provider.document_prefix() or None
+            rs = RecomputeSearcher(base, provider, document_template=doc_template)
+            results = rs.search(qvec, top_k=args.top_k, filter=filt)
     else:
         searcher = IndexSearcher.load(base)
         if not args.no_expand and queryexp.should_expand(query):

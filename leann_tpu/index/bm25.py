@@ -72,7 +72,7 @@ class Bm25Scorer:
             built = bm25_build_native(documents)
             if built is not None:
                 return Bm25Scorer(*built)
-        except ImportError:
+        except Exception:  # native path is best-effort; Python is the oracle
             pass
         return Bm25Scorer._build_python(documents)
 

@@ -40,6 +40,7 @@ class StreamingIndexBuilder:
         embedding_options: Optional[Dict] = None,
         is_recompute: bool = False,
         build_bm25: bool = True,
+        tokenizer_encoder=None,
     ):
         self.base = base
         self.dim = dim
@@ -50,6 +51,7 @@ class StreamingIndexBuilder:
         self.embedding_options = embedding_options
         self.is_recompute = is_recompute
         self.build_bm25 = build_bm25
+        self.tokenizer_encoder = tokenizer_encoder
 
         os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
         self._passages = PassageStoreWriter(base)
@@ -105,6 +107,16 @@ class StreamingIndexBuilder:
 
         if self.build_bm25 and self._texts:
             Bm25Scorer.build(self._texts).save(bm25_path(self.base))
+
+        # Recompute-ready local indexes persist pre-tokenized passages so
+        # pruned-index traversal can re-embed frontier nodes on device.
+        if self.is_recompute and self.tokenizer_encoder is not None:
+            from leann_tpu.store.tokens import save_tokens
+            from leann_tpu.store.passages import PassageStore
+
+            texts = [p.text for p in PassageStore(self.base).iter_all()]
+            tok, mask = self.tokenizer_encoder.tokenize_corpus(texts)
+            save_tokens(self.base, tok, mask)
 
         meta = IndexMeta(
             backend_name=self.backend,

@@ -32,10 +32,13 @@ def _load_lib():
     import os
 
     here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
     candidates = [
         os.path.join(here, "libleann_native.so"),
-        os.path.join(os.path.dirname(os.path.dirname(here)), "native", "libleann_native.so"),
+        os.path.join(repo, "native", "libleann_native.so"),
     ]
+    if not any(os.path.exists(p) for p in candidates):
+        _try_compile(repo)
     for path in candidates:
         if os.path.exists(path):
             try:
@@ -44,6 +47,26 @@ def _load_lib():
             except OSError:
                 continue
     return _LIB
+
+
+def _try_compile(repo: str) -> None:
+    """One-shot lazy build of the shared lib (g++ is in the image)."""
+    import os
+    import shutil
+    import subprocess
+
+    src = os.path.join(repo, "native", "leann_native.cpp")
+    if not os.path.exists(src) or shutil.which("g++") is None:
+        return
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "libleann_native.so")
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, src],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass
 
 
 def bm25_build_native(

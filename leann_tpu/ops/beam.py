@@ -8,10 +8,15 @@ lockstep. Each hop:
 
   1. every query picks its best not-yet-expanded beam entry
   2. that node's fixed-degree neighbor row is gathered      [B, R]
-  3. neighbor vectors are gathered                          [B, R, D]
-  4. scores = einsum('brd,bd->br') — one MXU-shaped contraction for
-     the whole batch instead of B*R scalar distance calls
-  5. candidates are deduped (in-beam check + hashed visited table) and
+  3. candidates are scored by a pluggable block scorer:
+       - stored-vector mode: gather vectors [B, R, D] and contract
+         with the query batch in one einsum (MXU-shaped)
+       - recompute mode (LEANN's signature trick): gather the nodes'
+         *token* rows, run the BERT encoder forward on them, and score
+         the fresh embeddings — the model runs inside the traversal
+         loop on the same chip (reference recomputes via HTTP round
+         trips host-side, `src/index/recompute.rs:86-93`)
+  4. candidates are deduped (in-beam check + hashed visited table) and
      merged into the beam with jax.lax.top_k
 
 All shapes are static; the loop is a lax.while_loop that exits when every
@@ -28,7 +33,7 @@ cycles in the beam itself.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,57 +48,37 @@ def _hash_slot(ids: jnp.ndarray, hash_bits: int) -> jnp.ndarray:
     return h.astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("beam_width", "max_iters", "metric", "hash_bits"),
-)
-def beam_search_batch(
+def _beam_search_core(
     queries: jnp.ndarray,      # [B, D] f32
-    vectors: jnp.ndarray,      # [N+1, D] f32, row N = zeros (sentinel)
     adjacency: jnp.ndarray,    # [N+1, R] int32, pad = N
-    sq_norms: jnp.ndarray,     # [N+1] f32 (|v|^2; only used for l2)
     entry: jnp.ndarray,        # [] int32 entry node (medoid)
-    exclude: jnp.ndarray,      # [B] int32 id to never return (-1 = none)
+    exclude: jnp.ndarray,      # [B] int32 id to never admit (-1 = none)
+    score_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    n_sentinel: int,
     beam_width: int,
     max_iters: int,
-    metric: str,
     hash_bits: int = 12,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (beam_ids [B, L] desc-sorted by score, beam_scores [B, L]).
-    Sentinel/empty slots have id = N and score = -inf."""
-    b, d = queries.shape
-    n_sentinel = vectors.shape[0] - 1
+    """score_fn(queries [B, D], ids [B, K]) -> [B, K] scores (higher =
+    better; must return garbage-but-finite for sentinel ids, which the
+    caller masks). Returns (beam_ids [B, L] desc-sorted, beam_scores)."""
+    b, _ = queries.shape
     r = adjacency.shape[1]
     L = beam_width
     H = 1 << hash_bits
 
-    def score_block(q, vecs, ids):
-        # q: [B, D]; vecs: [B, R, D]; -> [B, R] (higher = better)
-        dots = jnp.einsum(
-            "brd,bd->br", vecs, q,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        if metric == "l2":
-            return 2.0 * dots - sq_norms[ids]
-        return dots
-
-    # --- init: beam holds the entry point only ---
-    entry_vec = vectors[entry][None, :].repeat(b, axis=0)          # [B, D]
-    entry_score = score_block(
-        queries, entry_vec[:, None, :], jnp.full((b, 1), entry, jnp.int32)
-    )[:, 0]
+    entry_ids = jnp.full((b, 1), entry, jnp.int32)
+    entry_score = score_fn(queries, entry_ids)[:, 0]
     beam_ids = jnp.full((b, L), n_sentinel, dtype=jnp.int32)
     beam_ids = beam_ids.at[:, 0].set(entry)
     beam_scores = jnp.full((b, L), NEG_INF, dtype=jnp.float32)
     # The entry keeps its real score even when excluded (so traversal can
-    # start from it); `exclude` only gates *candidate* admission. Callers
-    # that exclude a node (the Vamana builder excluding the point being
+    # start); `exclude` only gates *candidate* admission. Callers that
+    # exclude a node (the Vamana builder excluding the point being
     # inserted) drop it from the returned beam themselves.
     beam_scores = beam_scores.at[:, 0].set(entry_score)
     expanded = jnp.zeros((b, L), dtype=jnp.bool_)
     visited = jnp.full((b, H), -1, dtype=jnp.int32)
-    # mark entry visited
     visited = visited.at[
         jnp.arange(b), _hash_slot(jnp.full((b,), entry, jnp.int32), hash_bits)
     ].set(entry)
@@ -115,7 +100,6 @@ def beam_search_batch(
         u = jnp.take_along_axis(beam_ids, u_pos[:, None], axis=1)[:, 0]
         u = jnp.where(has_unexp, u, 0)
 
-        # mark u expanded (no-op rows keep their flags via the where)
         onehot = jax.nn.one_hot(u_pos, L, dtype=jnp.bool_)
         expanded = expanded | (onehot & has_unexp[:, None])
 
@@ -124,29 +108,24 @@ def beam_search_batch(
         # --- validity masks ---
         valid = (nbrs != n_sentinel) & has_unexp[:, None]
         valid &= nbrs != exclude[:, None]
-        # duplicate within the row (two parents pointing at same node)
         dup = (nbrs[:, :, None] == nbrs[:, None, :]) & (
             jax.lax.broadcasted_iota(jnp.int32, (1, r, r), 2)
             < jax.lax.broadcasted_iota(jnp.int32, (1, r, r), 1)
         )
         valid &= ~jnp.any(dup, axis=2)
-        # already in beam
         in_beam = jnp.any(nbrs[:, :, None] == beam_ids[:, None, :], axis=2)
         valid &= ~in_beam
-        # visited hash check
         slots = _hash_slot(nbrs, hash_bits)                         # [B, R]
         seen = jnp.take_along_axis(visited, slots, axis=1) == nbrs
         valid &= ~seen
-        # insert valid nbrs into visited (collisions overwrite: benign)
         row = jnp.arange(b)[:, None].repeat(r, axis=1)
         visited = visited.at[row, slots].set(
             jnp.where(valid, nbrs, jnp.take_along_axis(visited, slots, axis=1)),
             mode="drop",
         )
 
-        # --- score candidates: the hot gather + contraction ---
-        nvecs = vectors[nbrs]                                       # [B, R, D]
-        cand_scores = score_block(queries, nvecs, nbrs)
+        # --- score candidates (the hot block) ---
+        cand_scores = score_fn(queries, nbrs)
         cand_scores = jnp.where(valid, cand_scores, NEG_INF)
         cand_ids = jnp.where(valid, nbrs, n_sentinel)
 
@@ -166,6 +145,97 @@ def beam_search_batch(
         cond, body, state
     )
     return beam_ids, beam_scores
+
+
+# ---------------------------------------------------------------- stored-vector
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_iters", "metric", "hash_bits"),
+)
+def beam_search_batch(
+    queries: jnp.ndarray,      # [B, D] f32
+    vectors: jnp.ndarray,      # [N+1, D] f32, row N = zeros (sentinel)
+    adjacency: jnp.ndarray,    # [N+1, R] int32, pad = N
+    sq_norms: jnp.ndarray,     # [N+1] f32 (|v|^2; only used for l2)
+    entry: jnp.ndarray,
+    exclude: jnp.ndarray,
+    beam_width: int,
+    max_iters: int,
+    metric: str,
+    hash_bits: int = 12,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    n_sentinel = vectors.shape[0] - 1
+
+    def score_fn(q, ids):
+        vecs = vectors[ids]                                     # [B, K, D]
+        dots = jnp.einsum(
+            "bkd,bd->bk", vecs, q,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "l2":
+            return 2.0 * dots - sq_norms[ids]
+        return dots
+
+    return _beam_search_core(
+        queries, adjacency, entry, exclude, score_fn,
+        n_sentinel, beam_width, max_iters, hash_bits,
+    )
+
+
+# ---------------------------------------------------------------- recompute
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beam_width", "max_iters", "metric", "hash_bits", "config",
+    ),
+)
+def beam_search_recompute_batch(
+    queries: jnp.ndarray,        # [B, D] f32 (query embeddings)
+    token_ids: jnp.ndarray,      # [N+1, T] int32 (row N = padding)
+    attn_mask: jnp.ndarray,      # [N+1, T] int32
+    adjacency: jnp.ndarray,      # [N+1, R] int32
+    bert_params,                 # pytree
+    entry: jnp.ndarray,
+    exclude: jnp.ndarray,
+    beam_width: int,
+    max_iters: int,
+    metric: str,
+    config,                      # BertConfig (hashable static)
+    hash_bits: int = 12,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The LEANN trick, fused: no stored vectors exist — every hop's
+    candidates are re-embedded by the BERT encoder *inside* the traversal
+    loop, on the same chip."""
+    from leann_tpu.models.bert import bert_forward
+
+    n_sentinel = token_ids.shape[0] - 1
+
+    def score_fn(q, ids):
+        b, k = ids.shape
+        toks = token_ids[ids].reshape(b * k, -1)
+        mask = attn_mask[ids].reshape(b * k, -1)
+        emb = bert_forward(bert_params, toks, mask, config)     # [B*K, D]
+        emb = emb.reshape(b, k, -1)
+        dots = jnp.einsum(
+            "bkd,bd->bk", emb, q, preferred_element_type=jnp.float32
+        )
+        if metric == "l2":
+            sq = jnp.sum(emb * emb, axis=-1)
+            return 2.0 * dots - sq
+        return dots
+
+    return _beam_search_core(
+        queries, adjacency, entry, exclude, score_fn,
+        n_sentinel, beam_width, max_iters, hash_bits,
+    )
+
+
+# ---------------------------------------------------------------- host API
 
 
 def _bucket(b: int) -> int:
@@ -206,7 +276,6 @@ class BeamSearchEngine:
         )
         adj = np.ascontiguousarray(adjacency, dtype=np.int32)
         if adj.shape[0] == self.n:
-            # sentinel row points nowhere
             adj = np.concatenate(
                 [adj, np.full((1, adj.shape[1]), self.n, np.int32)]
             )
@@ -263,3 +332,67 @@ class BeamSearchEngine:
             hash_bits=self.hash_bits,
         )
         return ids[:b], scores[:b]
+
+
+class RecomputeBeamEngine:
+    """Pruned-index traversal: stored tokens, no stored vectors."""
+
+    def __init__(
+        self,
+        token_ids: np.ndarray,    # [N, T]
+        attn_mask: np.ndarray,    # [N, T]
+        adjacency: np.ndarray,    # [N, R]
+        medoid: int,
+        encoder,                  # models.bert.BertEncoder
+        metric: str = "ip",
+        hash_bits: int = 12,
+    ):
+        self.n, t = token_ids.shape
+        self.encoder = encoder
+        self.metric = "ip" if metric == "cosine" else metric
+        self.hash_bits = hash_bits
+        self.token_ids = jnp.asarray(
+            np.concatenate([token_ids, np.zeros((1, t), np.int32)])
+        )
+        self.attn_mask = jnp.asarray(
+            np.concatenate([attn_mask, np.zeros((1, t), np.int32)])
+        )
+        adj = np.ascontiguousarray(adjacency, dtype=np.int32)
+        if adj.shape[0] == self.n:
+            adj = np.concatenate(
+                [adj, np.full((1, adj.shape[1]), self.n, np.int32)]
+            )
+        self.adjacency = jnp.asarray(adj)
+        self.medoid = jnp.int32(medoid)
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, beam_width: int = 32,
+        max_iters: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        b = q.shape[0]
+        bb = _bucket(b)
+        if bb != b:
+            q = np.concatenate([q, np.zeros((bb - b, q.shape[1]), np.float32)])
+        exc = np.full((bb,), -1, dtype=np.int32)
+        ids, scores = beam_search_recompute_batch(
+            jnp.asarray(q),
+            self.token_ids,
+            self.attn_mask,
+            self.adjacency,
+            self.encoder.params,
+            self.medoid,
+            jnp.asarray(exc),
+            beam_width=beam_width,
+            max_iters=max_iters or (2 * beam_width + 16),
+            metric=self.metric,
+            config=self.encoder.config,
+            hash_bits=self.hash_bits,
+        )
+        k = min(k, ids.shape[1])
+        idx = np.asarray(ids[:b, :k])
+        sc = np.asarray(scores[:b, :k])
+        idx = np.where(idx == self.n, -1, idx)
+        return idx, sc

@@ -1,0 +1,264 @@
+"""Sharded search over a device mesh (shard_map + XLA collectives).
+
+Design (SURVEY §2.4 "TPU-native equivalents"): the corpus is row-sharded
+across chips; queries are data-parallel over `dp` and replicated over
+`shard`; each chip searches its local block/subgraph; per-shard top-k
+candidates are all-gathered over ICI and merged with one final top-k.
+Per-shard local ids are rebased to global ids with the shard offset.
+
+Two engines:
+  ShardedFlatIndex   exact chunked matmul top-k per shard
+  ShardedGraphIndex  per-shard Vamana subgraph + frontier-batched beam
+                     search per shard (the DEEP-10M configuration:
+                     graphs too big for one chip's HBM)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:  # JAX >= 0.8 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from leann_tpu.ops.beam import beam_search_batch
+from leann_tpu.ops.distance import NEG_INF, pairwise_scores
+
+
+def _pad_rows(x: np.ndarray, rows: int, fill=0) -> np.ndarray:
+    if x.shape[0] == rows:
+        return x
+    pad = np.full((rows - x.shape[0],) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad])
+
+
+class ShardedFlatIndex:
+    """Exact search, corpus row-sharded over the `shard` mesh axis."""
+
+    def __init__(self, vectors: np.ndarray, mesh: Mesh, metric: str = "ip"):
+        self.mesh = mesh
+        self.metric_in = metric
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+        self.metric = "ip" if metric == "cosine" else metric
+        self.n, self.d = vectors.shape
+        self.n_shards = mesh.shape["shard"]
+        self.rows_per_shard = -(-self.n // self.n_shards)
+        padded = _pad_rows(vectors, self.rows_per_shard * self.n_shards)
+        # row-sharded corpus: each chip holds a contiguous block in HBM
+        self.vectors = jax.device_put(
+            padded, NamedSharding(mesh, P("shard", None))
+        )
+
+    def search(
+        self, queries: np.ndarray, k: int = 10
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        dp = self.mesh.shape.get("dp", 1)
+        b = q.shape[0]
+        b_pad = -(-b // dp) * dp
+        q = _pad_rows(q, b_pad)
+        k = min(k, self.n)
+        scores, idx = _sharded_flat_topk(
+            jnp.asarray(q), self.vectors, k, self.metric, self.mesh,
+            self.n, self.rows_per_shard,
+        )
+        return np.asarray(idx)[:b], np.asarray(scores)[:b]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "metric", "mesh", "valid_n", "rows_per_shard")
+)
+def _sharded_flat_topk(queries, vectors, k, metric, mesh, valid_n, rows_per_shard):
+    def local_fn(q, v):
+        # q: [B/dp, D] (replicated over shard); v: [rows, D] local block
+        q = q.reshape(q.shape[-2], q.shape[-1])
+        v = v.reshape(-1, v.shape[-1])
+        shard_id = jax.lax.axis_index("shard")
+        base = shard_id * rows_per_shard
+        scores = pairwise_scores(q, v, metric)                 # [b, rows]
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+        scores = jnp.where(col < valid_n, scores, NEG_INF)
+        local_scores, local_pos = jax.lax.top_k(scores, k)
+        local_idx = jnp.take_along_axis(col, local_pos, axis=1)
+        # combine across shards: one all_gather of [b, k] over ICI
+        all_scores = jax.lax.all_gather(local_scores, "shard", axis=1)
+        all_idx = jax.lax.all_gather(local_idx, "shard", axis=1)
+        all_scores = all_scores.reshape(q.shape[0], -1)
+        all_idx = all_idx.reshape(q.shape[0], -1)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P("dp", None), P("shard", None)),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(queries, vectors)
+
+
+class ShardedGraphIndex:
+    """Per-shard Vamana subgraphs searched in parallel, merged over ICI.
+
+    Each shard builds its own graph over its local rows (embarrassingly
+    parallel build), searches locally with the frontier-batched beam, and
+    contributes its top-k to one all_gather + merge. Memory per chip is
+    N/s vectors + N/s adjacency rows — the DEEP-10M story."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        mesh: Mesh,
+        metric: str = "ip",
+        graph_degree: int = 32,
+        complexity: int = 64,
+        alpha: float = 1.2,
+        adjacency_shards: Optional[np.ndarray] = None,
+        medoids: Optional[np.ndarray] = None,
+        build_wave_size: int = 1024,
+    ):
+        from leann_tpu.ops.vamana import build_vamana
+
+        self.mesh = mesh
+        self.metric_in = metric
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+        self.metric = "ip" if metric == "cosine" else metric
+        self.n, self.d = vectors.shape
+        self.n_shards = mesh.shape["shard"]
+        self.rows = -(-self.n // self.n_shards)  # rows per shard
+        r = graph_degree
+
+        padded = _pad_rows(vectors, self.rows * self.n_shards)
+        # stacked per-shard layout [s, rows+1, ...]; local sentinel = rows
+        vec_stack = np.zeros(
+            (self.n_shards, self.rows + 1, self.d), np.float32
+        )
+        adj_stack = np.full(
+            (self.n_shards, self.rows + 1, r), self.rows, np.int32
+        )
+        med = np.zeros(self.n_shards, np.int32)
+        for s in range(self.n_shards):
+            block = padded[s * self.rows : (s + 1) * self.rows]
+            valid = min(self.rows, max(0, self.n - s * self.rows))
+            vec_stack[s, : self.rows] = block
+            if adjacency_shards is not None:
+                adj_stack[s, : self.rows] = adjacency_shards[s]
+                med[s] = medoids[s]
+            elif valid > 1:
+                adj, medoid = build_vamana(
+                    block[:valid], graph_degree=r, complexity=complexity,
+                    alpha=alpha, metric=self.metric,
+                    wave_size=build_wave_size,
+                )
+                # rebase local sentinel (== valid) to rows
+                adj = np.where(adj >= valid, self.rows, adj)
+                adj_stack[s, :valid] = adj
+                med[s] = medoid
+        shard3 = NamedSharding(mesh, P("shard", None, None))
+        self.vec_stack = jax.device_put(vec_stack, shard3)
+        self.adj_stack = jax.device_put(adj_stack, shard3)
+        sq = (vec_stack * vec_stack).sum(axis=2)
+        self.sq_stack = jax.device_put(sq, NamedSharding(mesh, P("shard", None)))
+        self.medoids = jax.device_put(med, NamedSharding(mesh, P("shard")))
+        self.adjacency_shards = adj_stack[:, : self.rows]
+        self.medoids_host = med
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, beam_width: int = 64
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        dp = self.mesh.shape.get("dp", 1)
+        b = q.shape[0]
+        b_pad = -(-b // dp) * dp
+        q = _pad_rows(q, b_pad)
+        k_eff = min(k, self.rows)
+        scores, idx = _sharded_beam_topk(
+            jnp.asarray(q), self.vec_stack, self.adj_stack, self.sq_stack,
+            self.medoids, k_eff, beam_width, self.metric, self.mesh,
+            self.rows, self.n,
+        )
+        return np.asarray(idx)[:b], np.asarray(scores)[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "beam_width", "metric", "mesh", "rows", "valid_n"
+    ),
+)
+def _sharded_beam_topk(
+    queries, vec_stack, adj_stack, sq_stack, medoids,
+    k, beam_width, metric, mesh, rows, valid_n,
+):
+    def local_fn(q, v, a, sq, med):
+        q = q.reshape(q.shape[-2], q.shape[-1])
+        v = v.reshape(-1, v.shape[-1])          # [rows+1, D]
+        a = a.reshape(-1, a.shape[-1])          # [rows+1, R]
+        sq = sq.reshape(-1)
+        med = med.reshape(())
+        b = q.shape[0]
+        exclude = jnp.full((b,), -1, jnp.int32)
+        beam_ids, beam_scores = beam_search_batch(
+            q, v, a, sq, med, exclude,
+            beam_width=beam_width, max_iters=4 * beam_width + 32,
+            metric=metric,
+        )
+        shard_id = jax.lax.axis_index("shard")
+        base = shard_id * rows
+        local_ids = beam_ids[:, :k]
+        local_scores = beam_scores[:, :k]
+        global_ids = jnp.where(
+            local_ids == rows, valid_n, local_ids + base
+        )
+        # padding rows beyond valid_n score -inf so they never win
+        local_scores = jnp.where(
+            global_ids >= valid_n, NEG_INF, local_scores
+        )
+        all_scores = jax.lax.all_gather(local_scores, "shard", axis=1)
+        all_idx = jax.lax.all_gather(global_ids, "shard", axis=1)
+        all_scores = all_scores.reshape(b, -1)
+        all_idx = all_idx.reshape(b, -1)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard", None),
+            P("shard"),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(queries, vec_stack, adj_stack, sq_stack, medoids)

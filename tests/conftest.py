@@ -21,6 +21,14 @@ os.environ["PYTHONPATH"] = os.pathsep.join(
     if p and ".axon_site" not in p
 )
 
+# The axon sitecustomize imports jax at interpreter start, so jax.config
+# already captured JAX_PLATFORMS=axon from the ambient env — setting the
+# env var above is too late. Force the platform through the config API
+# (must run before any backend is initialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

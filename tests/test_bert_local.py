@@ -1,0 +1,136 @@
+"""On-TPU encoder + local provider + fused graph-recompute traversal."""
+
+import numpy as np
+import pytest
+
+from leann_tpu.models.bert import (
+    BertConfig,
+    BertEncoder,
+    HashTokenizer,
+    bert_forward,
+    init_params,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_encoder():
+    return BertEncoder(config=BertConfig.tiny())
+
+
+def test_forward_shapes_and_norm(tiny_encoder):
+    out = tiny_encoder.embed(["hello world", "a longer sentence with words"])
+    assert out.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+
+
+def test_deterministic(tiny_encoder):
+    a = tiny_encoder.embed(["same text"])
+    b = tiny_encoder.embed(["same text"])
+    np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_padding_invariance(tiny_encoder):
+    """Attention mask must make padding irrelevant: the same text encoded
+    alone and alongside a longer text must embed identically."""
+    alone = tiny_encoder.embed(["short text"])
+    padded = tiny_encoder.embed(
+        ["short text", "a much longer sentence that forces extra padding columns"]
+    )
+    np.testing.assert_allclose(alone[0], padded[0], rtol=2e-3, atol=2e-3)
+
+
+def test_mask_zero_is_safe():
+    cfg = BertConfig.tiny()
+    params = init_params(cfg)
+    import jax.numpy as jnp
+
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.zeros((1, 8), jnp.int32)  # fully masked
+    out = np.asarray(bert_forward(params, ids, mask, cfg))
+    assert np.isfinite(out).all()
+
+
+def test_hash_tokenizer_roundtrip():
+    tok = HashTokenizer(vocab_size=512, max_length=16)
+    ids, mask = tok.encode_batch(["one two three", "one"])
+    assert ids.shape == mask.shape
+    assert mask[0].sum() == 5  # cls + 3 words + sep
+    assert mask[1].sum() == 3
+    # same word -> same id
+    ids2, _ = tok.encode_batch(["one two three"])
+    np.testing.assert_array_equal(ids[0][: ids2.shape[1]], ids2[0])
+
+
+def test_local_provider():
+    from leann_tpu.embed import EmbeddingProvider
+
+    p = EmbeddingProvider(mode="local")
+    assert p.dimensions == 64  # tiny config
+    out = p.embed(["alpha", "beta"])
+    assert out.shape == (2, 64)
+
+
+def test_tokenize_corpus_fixed_width(tiny_encoder):
+    tok, mask = tiny_encoder.tokenize_corpus(["a b", "c d e f"], max_length=10)
+    assert tok.shape == (2, 10)
+    assert mask.shape == (2, 10)
+
+
+def test_fused_graph_recompute_matches_stored_vector_search():
+    """The LEANN signature trick: pruned graph + tokens must return the
+    same top hits as stored-vector traversal over the same graph."""
+    from leann_tpu.ops.beam import BeamSearchEngine, RecomputeBeamEngine
+    from leann_tpu.ops.vamana import build_vamana
+
+    enc = BertEncoder(config=BertConfig.tiny())
+    texts = [f"document {i} topic {i % 11} flavor {i % 7}" for i in range(200)]
+    vectors = enc.embed(texts)
+    tok, mask = enc.tokenize_corpus(texts, max_length=16)
+
+    adjacency, medoid = build_vamana(
+        vectors, graph_degree=12, complexity=24, metric="ip", wave_size=64
+    )
+    stored = BeamSearchEngine(vectors, adjacency, medoid, metric="ip")
+    fused = RecomputeBeamEngine(tok, mask, adjacency, medoid, enc, metric="ip")
+
+    queries = vectors[[5, 50, 150]]
+    idx_stored, _ = stored.search(queries, k=5, beam_width=24)
+    idx_fused, sc_fused = fused.search(queries, k=5, beam_width=24)
+    # top-1 must agree (identical embeddings both sides)
+    np.testing.assert_array_equal(idx_stored[:, 0], idx_fused[:, 0])
+    # each query's own doc is its best hit
+    np.testing.assert_array_equal(idx_fused[:, 0], [5, 50, 150])
+    # and overlap on the full top-5 should be high
+    for a, b in zip(idx_stored, idx_fused):
+        assert len(set(a.tolist()) & set(b.tolist())) >= 4
+
+
+def test_graph_recompute_searcher_end_to_end(tmp_index_base):
+    """Full pipeline: build local recompute index -> prune -> fused search."""
+    from leann_tpu.embed import EmbeddingProvider
+    from leann_tpu.index.builder import IndexBuilder
+    from leann_tpu.index.recompute import GraphRecomputeSearcher
+    from leann_tpu.store.embeddings import prune_embeddings
+    from leann_tpu.store.meta import IndexMeta, meta_path
+
+    provider = EmbeddingProvider(mode="local")
+    enc = provider._impl.encoder
+    texts = [f"passage number {i} about theme {i % 5}" for i in range(120)]
+    vecs = provider.embed(texts)
+    builder = IndexBuilder(
+        tmp_index_base, dim=provider.dimensions, backend="vamana",
+        metric="ip", embedding_mode="local", is_recompute=True,
+        tokenizer_encoder=enc,
+    )
+    for i, (t, v) in enumerate(zip(texts, vecs)):
+        builder.add(f"p{i}", t, v, {"i": i})
+    meta = builder.build(graph_degree=8, complexity=16)
+
+    prune_embeddings(tmp_index_base)
+    meta.is_pruned = True
+    meta.save(meta_path(tmp_index_base))
+
+    searcher = GraphRecomputeSearcher(tmp_index_base, enc)
+    q = provider.embed([texts[42]])[0]
+    results = searcher.search(q, top_k=3, complexity=16)
+    assert results[0].id == "p42"
