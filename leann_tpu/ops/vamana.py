@@ -241,7 +241,9 @@ def _insert_waves(
     for start in range(0, len(order), wave_size):
         wave = order[start : start + wave_size]
         w = len(wave)
-        wb = _pad_pow2(w, min(wave_size, 64))
+        # keep the wave shape constant across waves (one compile); only a
+        # corpus smaller than wave_size gets a smaller pow-2 bucket
+        wb = wave_size if len(order) > wave_size else _pad_pow2(w, 64)
         wave_pad = np.concatenate(
             [wave, np.zeros(wb - w, dtype=np.int64)]
         ).astype(np.int32)
@@ -285,6 +287,33 @@ def _insert_waves(
     return adjacency
 
 
+REVERSE_BLOCK = 4096  # fixed shape so the reverse-prune jit compiles once
+
+
+@functools.partial(jax.jit, static_argnames=("degree",), donate_argnums=(0,))
+def _reverse_prune_block(
+    adjacency: jnp.ndarray,   # [N+1, R] (donated: updated in place)
+    vecs_dev: jnp.ndarray,
+    uniq: jnp.ndarray,        # [A] int32, pad = n (sentinel)
+    inc: jnp.ndarray,         # [A, I] int32, pad = n
+    alpha: jnp.ndarray,
+    sentinel: jnp.ndarray,
+    degree: int,
+) -> jnp.ndarray:
+    old = adjacency[uniq]                                           # [A, R]
+    cand_ids = jnp.concatenate([old, inc], axis=1)
+    cand_ids = jnp.where(cand_ids == uniq[:, None], sentinel, cand_ids)
+    cand_vecs = vecs_dev[cand_ids]
+    point_vecs = vecs_dev[uniq]
+    new_rows = robust_prune_batch(
+        point_vecs, cand_ids, cand_vecs, sentinel, alpha, degree
+    )
+    # Pad entries have uniq == sentinel: their candidate set is all
+    # sentinel, so new_rows is all sentinel and the scatter rewrites the
+    # sentinel row with exactly its existing contents — self-healing pad.
+    return adjacency.at[uniq].set(new_rows)
+
+
 def _apply_reverse_edges(
     adjacency: jnp.ndarray,
     vecs_dev: jnp.ndarray,
@@ -297,30 +326,33 @@ def _apply_reverse_edges(
     sentinel: jnp.ndarray,
 ) -> jnp.ndarray:
     """For each edge p->q of the wave, add the reverse candidate p to
-    N(q): group by q host-side, cap incoming per q, batched robust prune
-    of [old N(q) ++ incoming] on device, scatter back."""
+    N(q): group by q host-side (one integer sort), cap incoming per q,
+    then fixed-shape blocks of batched robust prune on device."""
     order = np.argsort(dst, kind="stable")
     dst_s, src_s = dst[order], src[order]
     uniq, starts = np.unique(dst_s, return_index=True)
     a = len(uniq)
-    inc = np.full((a, incoming_cap), n, dtype=np.int32)
     counts = np.diff(np.append(starts, len(dst_s)))
-    for j in range(a):
-        take = min(int(counts[j]), incoming_cap)
-        inc[j, :take] = src_s[starts[j] : starts[j] + take]
+    take = np.minimum(counts, incoming_cap)
+    # vectorized gather of up to incoming_cap sources per unique target
+    inc = np.full((a, incoming_cap), n, dtype=np.int32)
+    col = np.arange(incoming_cap)[None, :]
+    gather_idx = starts[:, None] + col
+    valid = col < take[:, None]
+    inc[valid] = src_s[gather_idx[valid]]
 
-    ab = _pad_pow2(a, 64)
-    if ab != a:
-        uniq = np.concatenate([uniq, np.full(ab - a, 0, uniq.dtype)])
-        inc = np.concatenate([inc, np.full((ab - a, incoming_cap), n, np.int32)])
-    uniq_dev = jnp.asarray(uniq.astype(np.int32))
-
-    old = adjacency[uniq_dev]                                       # [ab, R]
-    cand_ids = jnp.concatenate([old, jnp.asarray(inc)], axis=1)
-    cand_ids = jnp.where(cand_ids == uniq_dev[:, None], sentinel, cand_ids)
-    cand_vecs = vecs_dev[cand_ids]
-    point_vecs = vecs_dev[uniq_dev]
-    new_rows = robust_prune_batch(
-        point_vecs, cand_ids, cand_vecs, sentinel, alpha_dev, r
-    )
-    return adjacency.at[uniq_dev[:a]].set(new_rows[:a])
+    uniq = uniq.astype(np.int32)
+    for start in range(0, a, REVERSE_BLOCK):
+        block_u = uniq[start : start + REVERSE_BLOCK]
+        block_i = inc[start : start + REVERSE_BLOCK]
+        if block_u.shape[0] < REVERSE_BLOCK:
+            pad = REVERSE_BLOCK - block_u.shape[0]
+            block_u = np.concatenate([block_u, np.full(pad, n, np.int32)])
+            block_i = np.concatenate(
+                [block_i, np.full((pad, incoming_cap), n, np.int32)]
+            )
+        adjacency = _reverse_prune_block(
+            adjacency, vecs_dev, jnp.asarray(block_u), jnp.asarray(block_i),
+            alpha_dev, sentinel, r,
+        )
+    return adjacency
