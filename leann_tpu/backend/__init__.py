@@ -21,7 +21,7 @@ from typing import Tuple
 import numpy as np
 
 ALIASES = {"hnsw": "vamana", "diskann": "vamana", "exact": "flat"}
-BACKENDS = ("flat", "vamana")
+BACKENDS = ("flat", "vamana", "ivf")
 
 
 def resolve_backend(name: str) -> str:
@@ -87,14 +87,41 @@ class GraphSearcher:
         return self.engine.search(queries, k=k, beam_width=max(complexity, k))
 
 
-def load_searcher(base: str, meta) -> "FlatSearcher | GraphSearcher":
+class IvfSearcher:
+    """Partitioned matmul search — the TPU-throughput backend (no
+    reference counterpart; see ops/ivf.py)."""
+
+    def __init__(self, vectors: np.ndarray, ivf, metric: str = "ip"):
+        from leann_tpu.ops.ivf import IvfEngine
+
+        self.metric = metric
+        self.engine = IvfEngine(
+            vectors, metric=metric,
+            centers=ivf.centers, assign=ivf.assign,
+        )
+
+    def __len__(self) -> int:
+        return self.engine.n
+
+    def search(
+        self, queries: np.ndarray, k: int, complexity: int = 64
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """complexity maps to nprobe (clusters probed per query)."""
+        return self.engine.search(queries, k=k, nprobe=max(complexity // 2, 8))
+
+
+def load_searcher(base: str, meta) -> "FlatSearcher | GraphSearcher | IvfSearcher":
     from leann_tpu.store.embeddings import EmbeddingsStore
     from leann_tpu.store.graphfile import GraphFile, graph_path
+    from leann_tpu.store.ivffile import IvfFile, ivf_path
 
     backend = resolve_backend(meta.backend_name)
     metric = getattr(meta, "metric", "ip")
     vectors = EmbeddingsStore(base, meta.dimensions).all()
     if backend == "flat":
         return FlatSearcher(np.asarray(vectors), metric=metric)
+    if backend == "ivf":
+        ivf = IvfFile.load(ivf_path(base))
+        return IvfSearcher(np.asarray(vectors), ivf, metric=metric)
     graph = GraphFile.load(graph_path(base))
     return GraphSearcher(np.asarray(vectors), graph, metric=metric)

@@ -30,8 +30,8 @@ def add_parser(sub):
     p.add_argument("--docs", nargs="+", default=["."],
                    help="Document directories and/or files")
     p.add_argument("--backend-name", default="hnsw",
-                   choices=["hnsw", "diskann", "flat", "vamana"],
-                   help="ANN backend (hnsw/diskann map to the TPU vamana engine)")
+                   choices=["hnsw", "diskann", "flat", "vamana", "ivf"],
+                   help="ANN backend: flat (exact), vamana (graph; hnsw/diskann aliases), ivf (partitioned matmul — highest batched QPS)")
     p.add_argument("--metric", default="ip", choices=["ip", "l2", "cosine"])
     p.add_argument("--embedding-model", default="text-embedding-3-small")
     p.add_argument("--embedding-mode", default="openai",

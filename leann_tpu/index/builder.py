@@ -86,6 +86,17 @@ class StreamingIndexBuilder:
         write_ids(self.base, self._ids)
 
         backend_kwargs = None
+        if self.backend == "ivf":
+            from leann_tpu.ops.ivf import kmeans
+            from leann_tpu.store.embeddings import EmbeddingsStore
+            from leann_tpu.store.ivffile import IvfFile, ivf_path
+
+            vectors = np.asarray(EmbeddingsStore(self.base, self.dim).all())
+            metric = "ip" if self.metric == "cosine" else self.metric
+            n_clusters = max(16, min(int(np.sqrt(len(vectors)) * 2), len(vectors)))
+            centers, assign = kmeans(vectors, n_clusters, metric=metric)
+            IvfFile(centers, assign, self.metric).save(ivf_path(self.base))
+            backend_kwargs = {"n_clusters": n_clusters}
         if self.backend == "vamana":
             from leann_tpu.ops.vamana import build_vamana
             from leann_tpu.store.embeddings import EmbeddingsStore

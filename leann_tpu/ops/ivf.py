@@ -1,0 +1,239 @@
+"""IVF (inverted-file) index: k-means partitioning + dense block scoring.
+
+The reference only ships graph indexes (usearch HNSW / diskann Vamana).
+On TPU, batched throughput favors a partitioned *matmul* engine over
+pointer-chasing: best-first graph traversal is inherently sequential
+(~L hops of small gathers per query), while IVF search is
+
+    1. score all centroids:      Q @ C.T              one big GEMM
+    2. pick top-nprobe clusters per query              one top_k
+    3. scan nprobe steps; each step gathers a [B, cap, D] block of
+       bucket vectors and scores it as a batched GEMM, merging top-k
+
+— nprobe (~32) sequential steps of MXU-shaped work instead of ~100+
+beam hops. Build is also matmuls (Lloyd iterations on device).
+
+Bucket layout: vectors are re-packed into [K, cap, D] padded buckets
+(cap ~= 1.3 x mean occupancy); overflow beyond cap spills into extra
+"overflow" buckets appended to the bucket table, so nothing is dropped —
+queries that probe a spilled cluster also probe its overflow chain via
+the stored per-cluster chain table.
+
+Simplification used here: overflow rows are packed into their own
+buckets whose centroid is the parent cluster's centroid, so the standard
+top-nprobe centroid scoring naturally probes them (a duplicated centroid
+scores identically and both copies land in the top-nprobe window
+together when relevant).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leann_tpu.ops.distance import NEG_INF, pairwise_scores
+
+
+# ---------------------------------------------------------------- k-means
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric", "chunk"))
+def _assign_chunked(vectors, centers, k, metric, chunk):
+    n_pad = vectors.shape[0]
+    blocks = vectors.reshape(n_pad // chunk, chunk, -1)
+
+    def step(_, block):
+        scores = pairwise_scores(block, centers, metric)
+        return None, jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(step, None, blocks)
+    return assign.reshape(-1)
+
+
+def kmeans(
+    vectors: np.ndarray,
+    k: int,
+    iters: int = 8,
+    metric: str = "l2",
+    seed: int = 0,
+    chunk: int = 65536,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Lloyd's algorithm on device. Returns (centers [K, D], assign [N])."""
+    rng = np.random.default_rng(seed)
+    n, d = vectors.shape
+    chunk = min(chunk, 1 << max(8, (n - 1).bit_length()))
+    n_pad = -(-n // chunk) * chunk
+    v_host = np.ascontiguousarray(vectors, dtype=np.float32)
+    v_pad = np.concatenate(
+        [v_host, np.zeros((n_pad - n, d), np.float32)]
+    ) if n_pad != n else v_host
+    v_dev = jnp.asarray(v_pad)
+    centers = jnp.asarray(v_host[rng.choice(n, size=k, replace=n < k)])
+
+    @jax.jit
+    def update(assign, centers_prev):
+        a = assign[:n]
+        sums = jax.ops.segment_sum(v_dev[:n], a, num_segments=k)
+        counts = jax.ops.segment_sum(
+            jnp.ones((n,), jnp.float32), a, num_segments=k
+        )
+        fresh = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts > 0)[:, None], fresh, centers_prev)
+
+    for _ in range(iters):
+        assign = _assign_chunked(v_dev, centers, k, metric, chunk)
+        centers = update(assign, centers)
+    assign = _assign_chunked(v_dev, centers, k, metric, chunk)
+    return np.asarray(centers), np.asarray(assign[:n])
+
+
+# ---------------------------------------------------------------- packing
+
+
+def pack_buckets(
+    vectors: np.ndarray,
+    assign: np.ndarray,
+    centers: np.ndarray,
+    cap: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (bucket_ids [K', cap], bucket_centroids [K', D],
+    bucket_vecs [K', cap, D]). K' >= K because overflow rows become
+    additional buckets sharing the parent centroid."""
+    n, d = vectors.shape
+    k = centers.shape[0]
+    counts = np.bincount(assign, minlength=k)
+    if cap is None:
+        cap = max(8, int(np.ceil(1.3 * n / k)))
+
+    bucket_rows = []  # list of (centroid_idx, [ids])
+    order = np.argsort(assign, kind="stable")
+    starts = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for c in range(k):
+        ids = order[starts[c]:starts[c + 1]]
+        for off in range(0, max(len(ids), 1), cap):
+            part = ids[off : off + cap]
+            if len(part) == 0 and off > 0:
+                break
+            bucket_rows.append((c, part))
+
+    kp = len(bucket_rows)
+    bucket_ids = np.full((kp, cap), n, dtype=np.int32)   # sentinel = n
+    bucket_cent = np.zeros((kp, d), dtype=np.float32)
+    bucket_vecs = np.zeros((kp, cap, d), dtype=np.float32)
+    for row, (c, ids) in enumerate(bucket_rows):
+        bucket_ids[row, : len(ids)] = ids
+        bucket_cent[row] = centers[c]
+        if len(ids):
+            bucket_vecs[row, : len(ids)] = vectors[ids]
+    return bucket_ids, bucket_cent, bucket_vecs
+
+
+# ---------------------------------------------------------------- search
+
+
+class IvfEngine:
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        n_clusters: Optional[int] = None,
+        metric: str = "ip",
+        kmeans_iters: int = 8,
+        cap: Optional[int] = None,
+        seed: int = 0,
+        centers: Optional[np.ndarray] = None,
+        assign: Optional[np.ndarray] = None,
+    ):
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self.metric_in = metric
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+            metric = "ip"
+        self.metric = metric
+        self.n, self.d = vectors.shape
+        if n_clusters is None:
+            n_clusters = max(16, int(np.sqrt(self.n) * 2))
+        self.n_clusters = min(n_clusters, self.n)
+
+        if centers is None or assign is None:
+            centers, assign = kmeans(
+                vectors, self.n_clusters, iters=kmeans_iters,
+                metric=self.metric, seed=seed,
+            )
+        bucket_ids, bucket_cent, bucket_vecs = pack_buckets(
+            vectors, assign, centers, cap=cap
+        )
+        self.centers = centers
+        self.assign = assign
+        self.cap = bucket_ids.shape[1]
+        self.bucket_ids = jnp.asarray(bucket_ids)
+        self.bucket_cent = jnp.asarray(bucket_cent)
+        self.bucket_vecs = jnp.asarray(bucket_vecs)
+        self.bucket_sq = jnp.sum(
+            self.bucket_vecs * self.bucket_vecs, axis=2
+        )
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, nprobe: int = 32
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        nprobe = min(nprobe, self.bucket_cent.shape[0])
+        k = min(k, self.n)
+        scores, ids = ivf_search(
+            jnp.asarray(q), self.bucket_cent, self.bucket_ids,
+            self.bucket_vecs, self.bucket_sq,
+            k=k, nprobe=nprobe, metric=self.metric, sentinel=self.n,
+        )
+        return np.asarray(ids), np.asarray(scores)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "metric", "sentinel")
+)
+def ivf_search(
+    queries, centroids, bucket_ids, bucket_vecs, bucket_sq,
+    k: int, nprobe: int, metric: str, sentinel: int,
+):
+    b = queries.shape[0]
+    c_scores = pairwise_scores(queries, centroids, metric)
+    _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
+
+    init = (
+        jnp.full((b, k), NEG_INF, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
+
+    def step(carry, p):
+        best_scores, best_ids = carry
+        cluster = probe[:, p]                                # [B]
+        vecs = bucket_vecs[cluster]                          # [B, cap, D]
+        ids = bucket_ids[cluster]                            # [B, cap]
+        dots = jnp.einsum(
+            "bcd,bd->bc", vecs, queries,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if metric == "l2":
+            scores = 2.0 * dots - bucket_sq[cluster]
+        else:
+            scores = dots
+        scores = jnp.where(ids == sentinel, NEG_INF, scores)
+        safe_ids = jnp.where(ids == sentinel, -1, ids)
+        all_scores = jnp.concatenate([best_scores, scores], axis=1)
+        all_ids = jnp.concatenate([best_ids, safe_ids], axis=1)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
+        return (top_scores, top_ids), None
+
+    (scores, ids), _ = jax.lax.scan(step, init, jnp.arange(nprobe))
+    return scores, ids

@@ -145,3 +145,52 @@ def test_vamana_degree_bound_and_sentinel_padding():
     assert adjacency.shape == (300, 12)
     # all entries are valid ids or the sentinel (n)
     assert ((adjacency >= 0) & (adjacency <= 300)).all()
+
+
+def test_ivf_engine_recall():
+    from leann_tpu.ops.ivf import IvfEngine
+
+    x = make_corpus(n=3000, d=32, seed=10, clusters=40)
+    eng = IvfEngine(x, n_clusters=64, metric="l2")
+    queries = x[[5, 500, 1500, 2500]] + 0.01
+    idx, scores = eng.search(queries, k=10, nprobe=16)
+    _, oracle = exact_topk(queries, x, 10, metric="l2")
+    rec = recall_at_k(idx, oracle, 10)
+    assert rec >= 0.9, f"ivf recall {rec}"
+    # self-retrieval
+    assert (idx[:, 0] == np.array([5, 500, 1500, 2500])).all()
+    # descending scores
+    assert (np.diff(scores, axis=1) <= 1e-5).all()
+
+
+def test_ivf_no_vector_dropped_by_overflow():
+    """cap smaller than the largest cluster: overflow buckets must keep
+    every vector findable."""
+    from leann_tpu.ops.ivf import IvfEngine
+
+    rng = np.random.default_rng(11)
+    # one dense blob -> single cluster holds nearly everything
+    x = rng.standard_normal((500, 8)).astype(np.float32) * 0.01
+    eng = IvfEngine(x, n_clusters=4, metric="l2", cap=32)
+    # probing all buckets must find every point exactly
+    idx, _ = eng.search(x[123], k=1, nprobe=eng.bucket_cent.shape[0])
+    assert idx[0, 0] == 123
+
+
+def test_ivf_backend_end_to_end(tmp_path):
+    from leann_tpu.embed import EmbeddingProvider
+    from leann_tpu.index.builder import IndexBuilder
+    from leann_tpu.index.searcher import IndexSearcher, SearchOptions
+
+    base = str(tmp_path / "idx" / "documents.leann")
+    provider = EmbeddingProvider(mode="fake", dimensions=24)
+    texts = [f"doc {i} theme {i % 9}" for i in range(400)]
+    vecs = provider.embed(texts)
+    b = IndexBuilder(base, dim=24, backend="ivf", metric="ip")
+    for i, (t, v) in enumerate(zip(texts, vecs)):
+        b.add(f"d{i}", t, v)
+    meta = b.build()
+    assert meta.backend_name == "ivf"
+    s = IndexSearcher.load(base)
+    res = s.search(provider.embed([texts[222]]), SearchOptions(top_k=3))[0]
+    assert res[0].id == "d222"
