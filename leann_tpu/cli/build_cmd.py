@@ -46,6 +46,8 @@ def add_parser(sub):
                    help="Dimensions override (used by the fake embedder)")
     p.add_argument("-f", "--force", action="store_true",
                    help="Force rebuild existing index")
+    p.add_argument("--resume", action="store_true",
+                   help="Resume an interrupted build from its checkpoint")
     p.add_argument("--recompute", action="store_true",
                    help="Enable recomputation mode (embeddings become prunable)")
     p.add_argument("--graph-degree", type=int, default=32)
@@ -73,16 +75,20 @@ def run(args) -> int:
     index_name = args.index_name or os.path.basename(os.getcwd()) or "index"
 
     index_dir = os.path.join(local_index_dir(), index_name)
-    if os.path.exists(index_dir):
+    base = index_base(index_dir)
+    from leann_tpu.index.builder import ckpt_path
+
+    resuming = args.resume and os.path.exists(ckpt_path(base))
+    if os.path.exists(index_dir) and not resuming:
         if not args.force:
             print(
-                f"Index '{index_name}' already exists. Use --force to rebuild.",
+                f"Index '{index_name}' already exists. Use --force to rebuild "
+                "(or --resume to continue an interrupted build).",
                 file=sys.stderr,
             )
             return 1
         shutil.rmtree(index_dir)
     os.makedirs(index_dir, exist_ok=True)
-    base = index_base(index_dir)
 
     chunk_size = args.doc_chunk_size or cfg.build.chunk_size
     chunk_overlap = (
@@ -150,7 +156,11 @@ def run(args) -> int:
         is_recompute=args.recompute,
         build_bm25=not args.no_bm25,
         tokenizer_encoder=tokenizer_encoder,
+        resume=resuming,
     )
+    if resuming:
+        print(f"Resuming build: {len(builder)} chunks already embedded "
+              f"({builder.files_done} files done)")
 
     batch_size = args.embedding_batch_size or (
         32 if provider.mode == "ollama" else 100
@@ -172,16 +182,24 @@ def run(args) -> int:
         builder.add_batch(pending, vecs)
         pending.clear()
 
-    for path in files:
+    CHECKPOINT_EVERY = 25  # files between resume checkpoints
+    for file_idx, path in enumerate(files):
+        if file_idx < builder.files_done:
+            continue  # already ingested before the interruption
         content = load_file_content(path)
         if content is None:
             continue
         chunks = chunker.chunk(content, path)
         ext_stats[os.path.splitext(path)[1] or "(none)"] += len(chunks)
         for c in chunks:
+            if resuming and builder.has_id(c.id):
+                continue
             pending.append(Passage(id=c.id, text=c.text, metadata=c.metadata))
             if len(pending) >= batch_size:
                 flush()
+        if (file_idx + 1) % CHECKPOINT_EVERY == 0:
+            flush()
+            builder.checkpoint(file_idx + 1)
     flush()
 
     if len(builder) == 0:

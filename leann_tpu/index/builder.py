@@ -5,27 +5,45 @@ StreamingIndexBuilder mirrors the reference's
 as chunks are embedded; the ANN structure is built at the end. Unlike the
 reference (which keeps embeddings in RAM because usearch wants them,
 builder.rs:230-233), embeddings here go straight to the raw-f32 file and
-the graph build reads them back as device blocks.
+the ANN build reads them back as device blocks.
 
 Extras over the reference:
   - the BM25 sidecar is built at index time (fixes the per-query rebuild
     at searcher.rs:149-151)
   - always writes `.embeddings` (it *is* the flat index; prune deletes it)
+  - **resumable builds**: a `.ckpt.json` records consistent byte/row
+    lengths after every checkpoint; a killed build resumes by truncating
+    the streams to the checkpoint and continuing (the reference leaves a
+    partial index that must be rebuilt with --force, build.rs:142-147 —
+    unacceptable when re-embedding 1M docs on TPU is the cost)
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from leann_tpu.store.embeddings import EmbeddingsWriter
+from leann_tpu.store.embeddings import EmbeddingsWriter, embeddings_path
 from leann_tpu.store.graphfile import GraphFile, graph_path
 from leann_tpu.store.meta import IndexMeta, meta_path
-from leann_tpu.store.passages import Passage, PassageStoreWriter, write_ids
+from leann_tpu.store.passages import (
+    Passage,
+    PassageStore,
+    PassageStoreWriter,
+    ids_path,
+    passages_path,
+    read_ids,
+    write_ids,
+)
 from leann_tpu.index.bm25 import Bm25Scorer, bm25_path
 from leann_tpu.backend import resolve_backend
+
+
+def ckpt_path(base: str) -> str:
+    return base + ".ckpt.json"
 
 
 class StreamingIndexBuilder:
@@ -41,6 +59,7 @@ class StreamingIndexBuilder:
         is_recompute: bool = False,
         build_bm25: bool = True,
         tokenizer_encoder=None,
+        resume: bool = False,
     ):
         self.base = base
         self.dim = dim
@@ -52,28 +71,76 @@ class StreamingIndexBuilder:
         self.is_recompute = is_recompute
         self.build_bm25 = build_bm25
         self.tokenizer_encoder = tokenizer_encoder
+        self.files_done = 0
 
         os.makedirs(os.path.dirname(base) or ".", exist_ok=True)
-        self._passages = PassageStoreWriter(base)
-        self._embeddings = EmbeddingsWriter(base, dim)
-        self._ids: List[str] = []
-        self._texts: List[str] = [] if build_bm25 else []
+        if resume and os.path.exists(ckpt_path(base)):
+            self._resume()
+        else:
+            self._passages = PassageStoreWriter(base)
+            self._embeddings = EmbeddingsWriter(base, dim)
+            self._ids: List[str] = []
+
+    def _resume(self) -> None:
+        """Truncate streams to the last consistent checkpoint, reopen in
+        append mode."""
+        with open(ckpt_path(self.base), "r", encoding="utf-8") as f:
+            ckpt = json.load(f)
+        if ckpt.get("dim") != self.dim:
+            raise ValueError(
+                f"checkpoint dim {ckpt.get('dim')} != current dim {self.dim}; "
+                "rebuild with --force"
+            )
+        rows = int(ckpt["embeddings_rows"])
+        with open(passages_path(self.base), "r+b") as f:
+            f.truncate(int(ckpt["passages_bytes"]))
+        with open(embeddings_path(self.base), "r+b") as f:
+            f.truncate(rows * self.dim * 4)
+        ids = read_ids(self.base)[:rows]
+        write_ids(self.base, ids)
+        # rebuild the offset map by scanning the (truncated) passage file
+        offsets = {}
+        pos = 0
+        with open(passages_path(self.base), "rb") as f:
+            for line in f:
+                if line.strip():
+                    pid = json.loads(line)["id"]
+                    offsets[str(pid)] = pos
+                pos += len(line)
+        self._passages = PassageStoreWriter(self.base, append=True)
+        self._passages._offsets = offsets
+        self._embeddings = EmbeddingsWriter(self.base, self.dim, append=True)
+        self._ids = ids
+        self.files_done = int(ckpt.get("files_done", 0))
 
     def add_passage(self, passage: Passage, embedding: np.ndarray) -> None:
         self._passages.add(passage)
         self._embeddings.add(np.asarray(embedding, dtype=np.float32))
         self._ids.append(passage.id)
-        if self.build_bm25:
-            self._texts.append(passage.text)
 
-    def add_batch(
-        self, passages: Sequence[Passage], embeddings: np.ndarray
-    ) -> None:
+    def add_batch(self, passages: Sequence[Passage], embeddings: np.ndarray) -> None:
         for p, e in zip(passages, embeddings):
             self.add_passage(p, e)
 
     def __len__(self) -> int:
         return len(self._ids)
+
+    def has_id(self, pid: str) -> bool:
+        return pid in self._passages._offsets
+
+    def checkpoint(self, files_done: int) -> None:
+        """Flush all streams and record a consistent resume point."""
+        self._passages._f.flush()
+        self._embeddings._f.flush()
+        write_ids(self.base, self._ids)
+        self.files_done = files_done
+        with open(ckpt_path(self.base), "w", encoding="utf-8") as f:
+            json.dump({
+                "dim": self.dim,
+                "files_done": files_done,
+                "passages_bytes": self._passages._pos,
+                "embeddings_rows": self._embeddings.count,
+            }, f)
 
     def build(
         self,
@@ -81,6 +148,8 @@ class StreamingIndexBuilder:
         complexity: int = 64,
         alpha: float = 1.2,
     ) -> IndexMeta:
+        from leann_tpu.utils import span
+
         self._passages.finish()
         self._embeddings.finish()
         write_ids(self.base, self._ids)
@@ -94,7 +163,8 @@ class StreamingIndexBuilder:
             vectors = np.asarray(EmbeddingsStore(self.base, self.dim).all())
             metric = "ip" if self.metric == "cosine" else self.metric
             n_clusters = max(16, min(int(np.sqrt(len(vectors)) * 2), len(vectors)))
-            centers, assign = kmeans(vectors, n_clusters, metric=metric)
+            with span("build.ivf", n=len(vectors)):
+                centers, assign = kmeans(vectors, n_clusters, metric=metric)
             IvfFile(centers, assign, self.metric).save(ivf_path(self.base))
             backend_kwargs = {"n_clusters": n_clusters}
         if self.backend == "vamana":
@@ -102,13 +172,14 @@ class StreamingIndexBuilder:
             from leann_tpu.store.embeddings import EmbeddingsStore
 
             vectors = np.asarray(EmbeddingsStore(self.base, self.dim).all())
-            adjacency, medoid = build_vamana(
-                vectors,
-                graph_degree=graph_degree,
-                complexity=complexity,
-                alpha=alpha,
-                metric=self.metric,
-            )
+            with span("build.vamana", n=len(vectors)):
+                adjacency, medoid = build_vamana(
+                    vectors,
+                    graph_degree=graph_degree,
+                    complexity=complexity,
+                    alpha=alpha,
+                    metric=self.metric,
+                )
             GraphFile(adjacency, medoid, self.metric).save(graph_path(self.base))
             backend_kwargs = {
                 "graph_degree": graph_degree,
@@ -116,16 +187,25 @@ class StreamingIndexBuilder:
                 "alpha": alpha,
             }
 
-        if self.build_bm25 and self._texts:
-            Bm25Scorer.build(self._texts).save(bm25_path(self.base))
+        texts: Optional[List[str]] = None
+        if self.build_bm25 or (self.is_recompute and self.tokenizer_encoder):
+            store = PassageStore(self.base)
+            pos = {pid: i for i, pid in enumerate(self._ids)}
+            texts = [""] * len(self._ids)
+            for p in store.iter_all():
+                i = pos.get(p.id)
+                if i is not None:
+                    texts[i] = p.text
+
+        if self.build_bm25 and texts:
+            with span("build.bm25", docs=len(texts)):
+                Bm25Scorer.build(texts).save(bm25_path(self.base))
 
         # Recompute-ready local indexes persist pre-tokenized passages so
         # pruned-index traversal can re-embed frontier nodes on device.
-        if self.is_recompute and self.tokenizer_encoder is not None:
+        if self.is_recompute and self.tokenizer_encoder is not None and texts:
             from leann_tpu.store.tokens import save_tokens
-            from leann_tpu.store.passages import PassageStore
 
-            texts = [p.text for p in PassageStore(self.base).iter_all()]
             tok, mask = self.tokenizer_encoder.tokenize_corpus(texts)
             save_tokens(self.base, tok, mask)
 
@@ -142,6 +222,8 @@ class StreamingIndexBuilder:
             metric=self.metric,
         )
         meta.save(meta_path(self.base))
+        if os.path.exists(ckpt_path(self.base)):
+            os.remove(ckpt_path(self.base))
         return meta
 
 

@@ -109,11 +109,21 @@ class IndexSearcher:
         self, query_vectors: np.ndarray, options: Optional[SearchOptions] = None
     ) -> List[List[SearchResult]]:
         """Batched search: [B, D] (or [D]) -> per-query result lists."""
+        from leann_tpu.utils import METRICS, span
+
         options = options or SearchOptions()
         q = np.asarray(query_vectors, dtype=np.float32)
         single = q.ndim == 1
         if single:
             q = q[None, :]
+        METRICS.inc("search.requests")
+        METRICS.inc("search.queries", q.shape[0])
+        return self._search_batch(q, options)
+
+    def _search_batch(
+        self, q: np.ndarray, options: SearchOptions
+    ) -> List[List[SearchResult]]:
+        from leann_tpu.utils import span
 
         needs_overfetch = options.filter is not None or options.hybrid
         fetch_k = options.top_k * 5 if needs_overfetch else options.top_k
@@ -121,9 +131,10 @@ class IndexSearcher:
         if fetch_k == 0:
             return [[] for _ in range(q.shape[0])]
 
-        idx, scores = self.backend.search(
-            q, k=fetch_k, complexity=max(options.complexity, fetch_k)
-        )
+        with span("search.ann", backend=self.meta.backend_name, b=q.shape[0]):
+            idx, scores = self.backend.search(
+                q, k=fetch_k, complexity=max(options.complexity, fetch_k)
+            )
 
         results: List[List[SearchResult]] = []
         for row in range(q.shape[0]):

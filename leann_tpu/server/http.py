@@ -63,10 +63,19 @@ def make_handler(state: ServerState, cors: bool):
                     "service": "leann-tpu",
                     "version": __version__,
                     "index": state.index_name,
-                    "endpoints": ["/health", "/indexes", "/info", "/search"],
+                    "endpoints": ["/health", "/indexes", "/info", "/search", "/metrics"],
                 })
             elif self.path == "/health":
                 self._send(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                from leann_tpu.utils import METRICS
+
+                body = METRICS.prometheus().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             elif self.path == "/indexes":
                 self._send(200, {
                     "indexes": [

@@ -182,3 +182,84 @@ def test_gitignore_respected(workdir, capsys):
     assert rc == 0
     data = json.loads(capsys.readouterr().out)
     assert all("secret.md" not in r["id"] for r in data)
+
+
+def test_resume_interrupted_build(workdir, capsys):
+    """Kill a build mid-stream (simulated via checkpoint), resume, and the
+    final index must be complete and searchable."""
+    import numpy as np
+    from leann_tpu.embed import EmbeddingProvider
+    from leann_tpu.index.builder import StreamingIndexBuilder, ckpt_path
+    from leann_tpu.store.passages import Passage
+
+    base = str(workdir / ".leann" / "indexes" / "resum" / "documents.leann")
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = [f"chunk number {i}" for i in range(20)]
+
+    # phase 1: ingest half, checkpoint, then "crash" (add garbage rows
+    # after the checkpoint that must be truncated away on resume)
+    b1 = StreamingIndexBuilder(base, dim=16)
+    for i in range(10):
+        b1.add_passage(Passage(f"c{i}", texts[i]), provider.embed([texts[i]])[0])
+    b1.checkpoint(files_done=0)
+    b1.add_passage(Passage("garbage", "partial"), provider.embed(["partial"])[0])
+    b1._passages._f.flush()
+    b1._embeddings._f.flush()
+    # simulate process death: no finish(), no meta
+    assert os.path.exists(ckpt_path(base))
+
+    # phase 2: resume and ingest the rest
+    b2 = StreamingIndexBuilder(base, dim=16, resume=True)
+    assert len(b2) == 10  # garbage row truncated
+    assert not b2.has_id("garbage")
+    for i in range(10, 20):
+        b2.add_passage(Passage(f"c{i}", texts[i]), provider.embed([texts[i]])[0])
+    meta = b2.build()
+    assert meta.passage_count == 20
+    assert not os.path.exists(ckpt_path(base))
+
+    from leann_tpu.index.searcher import IndexSearcher, SearchOptions
+
+    s = IndexSearcher.load(base)
+    res = s.search(provider.embed([texts[3]]), SearchOptions(top_k=1))[0]
+    assert res[0].id == "c3"
+    res = s.search(provider.embed([texts[17]]), SearchOptions(top_k=1))[0]
+    assert res[0].id == "c17"
+
+
+def test_metrics_endpoint_and_spans(workdir):
+    import threading
+    import urllib.request
+
+    from leann_tpu.cli.common import provider_from_meta
+    from leann_tpu.embed import EmbeddingProvider
+    from leann_tpu.index.builder import IndexBuilder
+    from leann_tpu.index.searcher import IndexSearcher, SearchOptions
+    from leann_tpu.server.http import ServerState, serve
+    from leann_tpu.utils import METRICS
+
+    METRICS.reset()
+    base = str(workdir / ".leann" / "indexes" / "m" / "documents.leann")
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    b = IndexBuilder(base, dim=16)
+    for i in range(5):
+        b.add(f"x{i}", f"text {i}", provider.embed([f"text {i}"])[0])
+    b.build()
+    searcher = IndexSearcher.load(base)
+    searcher.search(provider.embed(["text 1"]), SearchOptions(top_k=2))
+
+    snap = METRICS.snapshot()
+    assert snap["search.requests"]["value"] == 1
+    assert "span.search.ann.seconds" in snap
+
+    server = serve(ServerState(searcher, provider, None, "m"), port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/metrics"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            body = r.read().decode()
+        assert "search_requests" in body
+        assert "span_search_ann_seconds" in body
+    finally:
+        server.shutdown()
