@@ -111,6 +111,8 @@ class IvfSearcher:
 
 
 def load_searcher(base: str, meta) -> "FlatSearcher | GraphSearcher | IvfSearcher":
+    import os
+
     from leann_tpu.store.embeddings import EmbeddingsStore
     from leann_tpu.store.graphfile import GraphFile, graph_path
     from leann_tpu.store.ivffile import IvfFile, ivf_path
@@ -123,5 +125,17 @@ def load_searcher(base: str, meta) -> "FlatSearcher | GraphSearcher | IvfSearche
     if backend == "ivf":
         ivf = IvfFile.load(ivf_path(base))
         return IvfSearcher(np.asarray(vectors), ivf, metric=metric)
+    if not GraphFile.exists(base):
+        # a hnsw/diskann meta with no native graph file: probably an index
+        # built by Python LEANN or leann-rs (reference compat.rs behavior)
+        from leann_tpu.backend.compat import sniff_foreign_index
+
+        diagnosis = sniff_foreign_index(
+            os.path.dirname(base), os.path.basename(base)
+        )
+        if diagnosis:
+            raise RuntimeError(diagnosis)
+        # no graph at all: degrade gracefully to exact search
+        return FlatSearcher(np.asarray(vectors), metric=metric)
     graph = GraphFile.load(graph_path(base))
     return GraphSearcher(np.asarray(vectors), graph, metric=metric)

@@ -143,6 +143,26 @@ def run(args) -> int:
         )
         GraphFile(adjacency, graph.medoid, graph.metric).save(graph_path(base))
 
+    # extend the IVF index incrementally: new vectors join their nearest
+    # existing centroid (centers stay fixed; re-clustering is a rebuild)
+    from leann_tpu.store.ivffile import IvfFile, ivf_path
+
+    if meta.backend_name == "ivf" and IvfFile.exists(base):
+        from leann_tpu.ops.distance import exact_topk
+
+        ivf = IvfFile.load(ivf_path(base))
+        metric = "ip" if meta.metric == "cosine" else meta.metric
+        nv = new_vecs
+        if meta.metric == "cosine":
+            nv = nv / (np.linalg.norm(nv, axis=1, keepdims=True) + 1e-12)
+        _, nearest = exact_topk(nv, ivf.centers, 1, metric=metric)
+        new_assign = nearest[:, 0].astype(np.int32)
+        IvfFile(
+            ivf.centers,
+            np.concatenate([ivf.assign, new_assign]),
+            ivf.metric,
+        ).save(ivf_path(base))
+
     # refresh the BM25 sidecar
     if os.path.exists(bm25_path(base)):
         store = PassageStore(base)

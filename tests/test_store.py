@@ -140,3 +140,33 @@ def test_find_index(tmp_path, monkeypatch):
     assert find_index("myidx", cwd=str(tmp_path)) == str(idx_dir)
     with pytest.raises(FileNotFoundError):
         find_index("nope", cwd=str(tmp_path))
+
+
+def test_foreign_index_detection(tmp_path):
+    from leann_tpu.backend.compat import sniff_foreign_index
+
+    d = tmp_path / "idx"
+    d.mkdir()
+    assert sniff_foreign_index(str(d)) is None
+    (d / "documents.leann.index").write_bytes(b"IxF2" + b"\x00" * 64)
+    msg = sniff_foreign_index(str(d))
+    assert msg is not None and "FAISS" in msg and "--force" in msg
+    (d / "documents.leann.index").write_bytes(b"usearch-binary-here")
+    msg = sniff_foreign_index(str(d))
+    assert "usearch" in msg
+
+
+def test_load_searcher_raises_on_foreign_index(tmp_path):
+    import numpy as np
+
+    from leann_tpu.backend import load_searcher
+    from leann_tpu.store.embeddings import EmbeddingsWriter
+    from leann_tpu.store.meta import IndexMeta
+
+    base = str(tmp_path / "documents.leann")
+    with EmbeddingsWriter(base, 8) as w:
+        w.add(np.zeros((4, 8), np.float32))
+    (tmp_path / "documents.leann.index").write_bytes(b"IxFl" + b"\x00" * 16)
+    meta = IndexMeta(backend_name="hnsw", dimensions=8)
+    with pytest.raises(RuntimeError, match="FAISS"):
+        load_searcher(base, meta)
