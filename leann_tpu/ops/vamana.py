@@ -117,6 +117,7 @@ def build_vamana(
     passes: int = 2,
     seed: int = 0,
     verbose: bool = False,
+    expansions: int = 2,
 ) -> Tuple[np.ndarray, int]:
     """Returns (adjacency [N, R] int32 sentinel=N padded, medoid)."""
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
@@ -154,7 +155,7 @@ def build_vamana(
 
     sentinel = jnp.int32(n)
     medoid_dev = jnp.int32(medoid)
-    max_iters = 2 * L + 16
+    max_iters = 2 * L + 16  # scaled down by expansions inside _insert_waves
 
     alphas = [1.0] * (passes - 1) + [alpha] if passes > 1 else [alpha]
 
@@ -165,6 +166,7 @@ def build_vamana(
             beam_width=L, graph_degree=r, alpha=pass_alpha,
             metric=search_metric, wave_size=wave_size,
             incoming_cap=incoming_cap, max_iters=max_iters,
+            expansions=expansions,
         )
         if verbose:
             print(f"[vamana] pass {pass_i + 1}/{len(alphas)} done (alpha={pass_alpha})")
@@ -214,7 +216,7 @@ def insert_points(
         vectors, vecs_dev, sq_norms, adj_dev, jnp.int32(medoid), order,
         beam_width=L, graph_degree=graph_degree, alpha=alpha,
         metric=search_metric, wave_size=wave_size,
-        incoming_cap=incoming_cap, max_iters=2 * L + 16,
+        incoming_cap=incoming_cap, max_iters=2 * L + 16, expansions=2,
     )
     return np.asarray(adj_dev[:n])
 
@@ -233,6 +235,7 @@ def _insert_waves(
     wave_size: int,
     incoming_cap: int,
     max_iters: int,
+    expansions: int = 2,
 ) -> jnp.ndarray:
     n = vecs_dev.shape[0] - 1
     r = graph_degree
@@ -257,8 +260,12 @@ def _insert_waves(
             medoid_dev,
             jnp.asarray(wave_pad),   # exclude self
             beam_width=beam_width,
+            # E>1 converges in ~E x fewer hops via the while_loop's early
+            # exit; the cap must NOT shrink with E or hard (uniform)
+            # distributions lose candidate quality and graph recall
             max_iters=max_iters,
             metric=metric,
+            expansions=expansions,
         )
         # candidate pool: beam ++ current neighbors of p
         cur = adjacency[wave_pad]                                   # [wb, R]

@@ -64,13 +64,20 @@ def test_sharded_graph_recall():
 def test_sharded_graph_dp_axis():
     mesh = make_mesh((2, 4))
     x = corpus(800, 16, seed=6)
+    # l2: under raw inner-product a point's own vector need not be its
+    # best match (larger-norm neighbors can score higher), so
+    # self-retrieval is only a valid assertion for l2
     index = ShardedGraphIndex(
-        x, mesh, metric="ip", graph_degree=8, complexity=16,
+        x, mesh, metric="l2", graph_degree=8, complexity=16,
         build_wave_size=128,
     )
     # query batch not divisible by dp -> padded internally
     q = x[[3, 77, 401]]
     idx, _ = index.search(q, k=5, beam_width=16)
     assert idx.shape == (3, 5)
-    # self-retrieval across shard boundaries
-    assert idx[0, 0] == 3 and idx[1, 0] == 77 and idx[2, 0] == 401
+    # self-retrieval across shard boundaries is statistical at this tiny
+    # degree/beam (subgraph recall ~0.95 on uniform data): measure a rate
+    qids = np.arange(0, 800, 13)
+    idx2, _ = index.search(x[qids], k=1, beam_width=16)
+    rate = (idx2[:, 0] == qids).mean()
+    assert rate >= 0.85, f"cross-shard self-retrieval rate {rate}"
