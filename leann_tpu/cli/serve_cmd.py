@@ -12,6 +12,48 @@ from leann_tpu.store.locate import find_index, index_base
 from leann_tpu.store.meta import IndexMeta, meta_path
 
 
+class _PrunedAdapter:
+    """Serves a pruned (recompute-mode) index behind the IndexSearcher
+    search(q, options) interface the HTTP handler expects."""
+
+    def __init__(self, base, provider, meta):
+        from leann_tpu.index.recompute import (
+            GraphRecomputeSearcher,
+            RecomputeSearcher,
+        )
+        from leann_tpu.store.graphfile import GraphFile
+        from leann_tpu.store.tokens import tokens_exist
+
+        self.meta = meta
+        if (
+            meta.embedding_mode == "local"
+            and GraphFile.exists(base)
+            and tokens_exist(base)
+        ):
+            self._impl = GraphRecomputeSearcher(base, provider._impl.encoder)
+            self._graph = True
+        else:
+            self._impl = RecomputeSearcher(
+                base, provider,
+                document_template=provider.document_prefix() or None,
+            )
+            self._graph = False
+
+    def search(self, qvecs, options):
+        out = []
+        for qv in qvecs:
+            if self._graph:
+                out.append(self._impl.search(
+                    qv, top_k=options.top_k, complexity=options.complexity,
+                    filter=options.filter,
+                ))
+            else:
+                out.append(self._impl.search(
+                    qv, top_k=options.top_k, filter=options.filter,
+                ))
+        return out
+
+
 def add_parser(sub):
     p = sub.add_parser("serve", help="Start HTTP API server")
     p.add_argument("index_name", nargs="?", default=None)
@@ -33,7 +75,10 @@ def run(args) -> int:
     meta = IndexMeta.load(meta_path(base))
     provider = provider_from_meta(meta, api_key=args.embedding_api_key)
     template = resolve_query_template(None, meta)
-    searcher = IndexSearcher.load(base)
+    if meta.is_pruned:
+        searcher = _PrunedAdapter(base, provider, meta)
+    else:
+        searcher = IndexSearcher.load(base)
     state = ServerState(searcher, provider, template, index_name)
     server = serve(state, host=args.host, port=args.port, cors=args.cors)
     print(f"Serving index '{index_name}' on http://{args.host}:{args.port}")

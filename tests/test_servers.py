@@ -179,3 +179,38 @@ def test_mcp_unknown_tool_and_method(tmp_path, monkeypatch):
     ])
     assert responses[0]["error"]["code"] == -32602
     assert responses[1]["error"]["code"] == -32601
+
+
+def test_serve_pruned_index_via_recompute(tmp_path, monkeypatch):
+    """The HTTP server must serve a pruned index through the recompute
+    adapter instead of crashing on the missing embeddings file."""
+    import threading
+
+    from leann_tpu.cli.serve_cmd import _PrunedAdapter
+    from leann_tpu.index.builder import IndexBuilder
+    from leann_tpu.store.embeddings import prune_embeddings
+    from leann_tpu.store.meta import IndexMeta, meta_path
+
+    base = str(tmp_path / "p" / "documents.leann")
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = ["alpha fox", "beta tpu", "gamma bm25"]
+    b = IndexBuilder(base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        b.add(f"t{i}", t, v)
+    meta = b.build()
+    prune_embeddings(base)
+    meta.is_pruned = True
+    meta.save(meta_path(base))
+
+    adapter = _PrunedAdapter(base, provider, meta)
+    state = ServerState(adapter, provider, None, "p")
+    server = serve(state, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}"
+        status, body = _post(url + "/search", {"query": "beta tpu", "top_k": 1})
+        assert status == 200
+        assert body["results"][0]["id"] == "t1"
+    finally:
+        server.shutdown()
