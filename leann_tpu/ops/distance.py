@@ -69,7 +69,7 @@ def pairwise_scores(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "metric", "chunk_size")
+    jax.jit, static_argnames=("k", "metric", "chunk_size", "approx")
 )
 def _exact_topk_jit(
     queries: jnp.ndarray,
@@ -78,7 +78,11 @@ def _exact_topk_jit(
     k: int,
     metric: Metric,
     chunk_size: int,
+    approx: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """approx=True computes the scan in bf16 (native MXU speed, ~3
+    decimal digits) — used as stage 1 of the two-stage exact search,
+    which rescores the survivors in full f32."""
     b, d = queries.shape
     n_pad = vectors.shape[0]
     num_chunks = n_pad // chunk_size
@@ -93,10 +97,24 @@ def _exact_topk_jit(
         vf = vectors.astype(jnp.float32)
         sq_norms = jnp.sum(vf * vf, axis=-1)
 
+    if approx:
+        queries = queries.astype(jnp.bfloat16)
+        vectors = vectors.astype(jnp.bfloat16)
     chunks = vectors.reshape(num_chunks, chunk_size, d)
     norm_chunks = (
         sq_norms.reshape(num_chunks, chunk_size) if sq_norms is not None else None
     )
+    precision = None if approx else jax.lax.Precision.HIGHEST
+
+    def score_block(block, norms):
+        dots = jnp.dot(
+            queries, block.T,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if metric == "l2":
+            return 2.0 * dots - norms[None, :]
+        return dots
 
     init_scores = jnp.full((b, k), NEG_INF, dtype=jnp.float32)
     init_idx = jnp.full((b, k), -1, dtype=jnp.int32)
@@ -105,10 +123,10 @@ def _exact_topk_jit(
         best_scores, best_idx = carry
         if norm_chunks is not None:
             chunk_i, block, norms = inputs
-            scores = pairwise_scores(queries, block, "l2", vector_sq_norms=norms)
         else:
             chunk_i, block = inputs
-            scores = pairwise_scores(queries, block, "ip")
+            norms = None
+        scores = score_block(block, norms)
         base = chunk_i * chunk_size
         col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk_size), 1) + base
         scores = jnp.where(col < valid_n, scores, NEG_INF)
@@ -127,17 +145,57 @@ def _exact_topk_jit(
     return scores, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _rescore_topk(
+    queries: jnp.ndarray,     # [B, D] f32
+    vectors: jnp.ndarray,     # [N_pad, D] f32
+    cand_idx: jnp.ndarray,    # [B, C] int32 (may contain -1)
+    k: int,
+    metric: Metric,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stage 2: full-f32 rescoring of the bf16 survivors."""
+    if metric == "cosine":
+        queries = _normalize(queries)
+        vectors = _normalize(vectors)
+        metric = "ip"
+    safe = jnp.maximum(cand_idx, 0)
+    vecs = vectors[safe]                                    # [B, C, D]
+    dots = jnp.einsum(
+        "bcd,bd->bc", vecs, queries,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "l2":
+        sq = jnp.sum(vecs * vecs, axis=-1)
+        scores = 2.0 * dots - sq
+    else:
+        scores = dots
+    scores = jnp.where(cand_idx >= 0, scores, NEG_INF)
+    top_scores, pos = jax.lax.top_k(scores, k)
+    top_idx = jnp.take_along_axis(cand_idx, pos, axis=1)
+    return top_scores, top_idx
+
+
 def exact_topk(
     queries,
     vectors,
     k: int,
     metric: Metric = "ip",
     chunk_size: int = 65536,
+    two_stage: bool = False,
+    rescore_factor: int = 8,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact top-k over the full corpus. Returns (scores [B,k], idx [B,k]).
 
     Handles padding host-side: the corpus is padded to a multiple of
     chunk_size so all shapes under jit are static.
+
+    two_stage=True is the serving fast path: stage 1 scans the corpus in
+    bf16 (native MXU throughput) keeping rescore_factor*k candidates,
+    stage 2 rescores them in full f32 — same top-k as the f32 scan in
+    practice, at a fraction of the time (bf16 near-ties are resolved by
+    the rescore as long as the true top-k survive stage 1, which a
+    rescore window of 8x makes overwhelmingly likely).
     """
     queries = jnp.asarray(queries, dtype=jnp.float32)
     if queries.ndim == 1:
@@ -149,7 +207,15 @@ def exact_topk(
     n_pad = ((n + chunk_size - 1) // chunk_size) * chunk_size
     if n_pad != n:
         vectors = jnp.pad(vectors, ((0, n_pad - n), (0, 0)))
-    scores, idx = _exact_topk_jit(
-        queries, vectors, jnp.int32(n), k, metric, chunk_size
-    )
+    if two_stage:
+        c = min(max(rescore_factor * k, k), n)
+        _, cand = _exact_topk_jit(
+            queries, vectors, jnp.int32(n), c, metric, chunk_size,
+            approx=True,
+        )
+        scores, idx = _rescore_topk(queries, vectors, cand, k, metric)
+    else:
+        scores, idx = _exact_topk_jit(
+            queries, vectors, jnp.int32(n), k, metric, chunk_size
+        )
     return np.asarray(scores), np.asarray(idx)

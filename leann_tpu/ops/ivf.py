@@ -74,21 +74,26 @@ def kmeans(
     v_dev = jnp.asarray(v_pad)
     centers = jnp.asarray(v_host[rng.choice(n, size=k, replace=n < k)])
 
-    @jax.jit
-    def update(assign, centers_prev):
-        a = assign[:n]
-        sums = jax.ops.segment_sum(v_dev[:n], a, num_segments=k)
-        counts = jax.ops.segment_sum(
-            jnp.ones((n,), jnp.float32), a, num_segments=k
-        )
-        fresh = sums / jnp.maximum(counts, 1.0)[:, None]
-        return jnp.where((counts > 0)[:, None], fresh, centers_prev)
-
+    # NB: the corpus is an ARGUMENT, never a closure capture — a captured
+    # device array becomes an HLO constant, and at 1M x 128 that is a
+    # 512MB program body (the axon remote-compile service rejects it
+    # with HTTP 413, and even locally it would bloat every executable).
     for _ in range(iters):
         assign = _assign_chunked(v_dev, centers, k, metric, chunk)
-        centers = update(assign, centers)
+        centers = _kmeans_update(v_dev, assign, centers, n, k)
     assign = _assign_chunked(v_dev, centers, k, metric, chunk)
     return np.asarray(centers), np.asarray(assign[:n])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k"))
+def _kmeans_update(v_dev, assign, centers_prev, n: int, k: int):
+    a = assign[:n]
+    sums = jax.ops.segment_sum(v_dev[:n], a, num_segments=k)
+    counts = jax.ops.segment_sum(
+        jnp.ones((n,), jnp.float32), a, num_segments=k
+    )
+    fresh = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where((counts > 0)[:, None], fresh, centers_prev)
 
 
 # ---------------------------------------------------------------- packing

@@ -82,3 +82,30 @@ def test_pairwise_scores_l2_consistency():
     true = -((q[:, None, :] - v[None, :, :]) ** 2).sum(-1)
     for row in range(4):
         np.testing.assert_array_equal(np.argsort(s[row]), np.argsort(true[row]))
+
+
+def test_two_stage_exact_matches_full_precision():
+    rng = np.random.default_rng(7)
+    vectors = rng.standard_normal((5000, 64)).astype(np.float32)
+    queries = rng.standard_normal((16, 64)).astype(np.float32)
+    s1, i1 = exact_topk(queries, vectors, 10, metric="l2")
+    s2, i2 = exact_topk(queries, vectors, 10, metric="l2", two_stage=True)
+    # two-stage must recover (essentially) the same top-10 sets
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(i1, i2)
+    ])
+    assert overlap >= 0.99, overlap
+    np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-3)
+
+
+def test_two_stage_ip_and_cosine():
+    rng = np.random.default_rng(8)
+    vectors = rng.standard_normal((2000, 32)).astype(np.float32)
+    queries = rng.standard_normal((8, 32)).astype(np.float32)
+    for metric in ("ip", "cosine"):
+        _, i1 = exact_topk(queries, vectors, 5, metric=metric)
+        _, i2 = exact_topk(queries, vectors, 5, metric=metric, two_stage=True)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 5 for a, b in zip(i1, i2)
+        ])
+        assert overlap >= 0.95, (metric, overlap)
