@@ -9,9 +9,11 @@ batch 2048. Prints ONE JSON line on stdout; progress goes to stderr.
 Target from BASELINE.json: >=10k batched QPS per v5e chip
 (vs_baseline = qps / 10000).
 
-Measured on TPU v5e (N=100k, d=128): ivf nprobe=8 -> 25.7k QPS @ recall
-0.998; nprobe=32 -> 19.6k QPS @ recall 1.000. Vamana beam=32 E=2 ->
-6.2k QPS @ recall 0.992.
+Measured on TPU v5e, mixture-of-gaussians 128d:
+  N=1M:   ivf nprobe=8  -> 16.4k QPS @ recall@10 1.000 (kmeans build 20s)
+          flat two-stage -> 11.6k QPS @ overlap 0.9998 vs f32 oracle
+  N=100k: ivf nprobe=8  -> 25.7k QPS @ 0.998; nprobe=32 -> 19.6k @ 1.000
+          vamana beam=32 E=2 -> 6.2k QPS @ 0.992
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ import numpy as np
 
 N = int(os.environ.get("BENCH_N", 100_000))
 D = int(os.environ.get("BENCH_D", 128))
-BACKEND = os.environ.get("BENCH_BACKEND", "ivf")  # ivf | vamana
+BACKEND = os.environ.get("BENCH_BACKEND", "ivf")  # ivf | flat | vamana
 QUERY_BATCH = int(os.environ.get("BENCH_B", 2048))
 RECALL_QUERIES = int(os.environ.get("BENCH_RECALL_Q", 1024))
 TOPK = 10
@@ -79,7 +81,13 @@ def main() -> None:
     qbatch = pool[N + RECALL_QUERIES :]
 
     t0 = time.time()
-    if BACKEND == "ivf":
+    if BACKEND == "flat":
+        from leann_tpu.ops.distance import ExactEngine
+
+        engine = ExactEngine(corpus, metric="l2")
+        search = lambda q, k: engine.search(q, k=k)  # noqa: E731
+        knobs = "two-stage bf16+rescore"
+    elif BACKEND == "ivf":
         from leann_tpu.ops.ivf import IvfEngine
 
         engine = IvfEngine(corpus, n_clusters=N_CLUSTERS, metric="l2")

@@ -37,24 +37,24 @@ def resolve_backend(name: str) -> str:
 
 class FlatSearcher:
     """Exact search over the embeddings matrix (reference recompute-mode
-    semantics done natively: `src/index/recompute.rs:96-106`)."""
+    semantics done natively: `src/index/recompute.rs:96-106`), served by
+    the device-resident two-stage engine (bf16 scan + f32 rescore)."""
 
     def __init__(self, vectors: np.ndarray, metric: str = "ip"):
-        self.vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        from leann_tpu.ops.distance import ExactEngine
+
         self.metric = metric
+        self.engine = ExactEngine(np.asarray(vectors), metric=metric)
 
     def __len__(self) -> int:
-        return self.vectors.shape[0]
+        return self.engine.n
 
     def search(
         self, queries: np.ndarray, k: int, complexity: int = 64
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (idx [B,k] int, scores [B,k]); complexity is ignored —
-        flat search is always exact."""
-        from leann_tpu.ops.distance import exact_topk
-
-        scores, idx = exact_topk(queries, self.vectors, k, metric=self.metric)
-        return idx, scores
+        flat search is always (effectively) exact."""
+        return self.engine.search(queries, k=k)
 
 
 class GraphSearcher:

@@ -185,8 +185,14 @@ class IvfEngine:
         )
 
     def search(
-        self, queries: np.ndarray, k: int = 10, nprobe: int = 32
+        self, queries: np.ndarray, k: int = 10, nprobe: int = 32,
+        approx: bool = True,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """approx=True scores buckets in bf16 (f32 accumulation) — the
+        candidate sets are identical in practice because per-bucket
+        ranking only has to surface the true top-k into the k-sized
+        running window, and the final merged scores come from the same
+        accumulation either way."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -198,20 +204,29 @@ class IvfEngine:
             jnp.asarray(q), self.bucket_cent, self.bucket_ids,
             self.bucket_vecs, self.bucket_sq,
             k=k, nprobe=nprobe, metric=self.metric, sentinel=self.n,
+            approx=approx,
         )
         return np.asarray(ids), np.asarray(scores)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "metric", "sentinel")
+    jax.jit, static_argnames=("k", "nprobe", "metric", "sentinel", "approx")
 )
 def ivf_search(
     queries, centroids, bucket_ids, bucket_vecs, bucket_sq,
-    k: int, nprobe: int, metric: str, sentinel: int,
+    k: int, nprobe: int, metric: str, sentinel: int, approx: bool = True,
 ):
     b = queries.shape[0]
     c_scores = pairwise_scores(queries, centroids, metric)
     _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
+
+    if approx:
+        q_score = queries.astype(jnp.bfloat16)
+        bucket_vecs = bucket_vecs.astype(jnp.bfloat16)
+        precision = None
+    else:
+        q_score = queries
+        precision = jax.lax.Precision.HIGHEST
 
     init = (
         jnp.full((b, k), NEG_INF, jnp.float32),
@@ -224,9 +239,9 @@ def ivf_search(
         vecs = bucket_vecs[cluster]                          # [B, cap, D]
         ids = bucket_ids[cluster]                            # [B, cap]
         dots = jnp.einsum(
-            "bcd,bd->bc", vecs, queries,
+            "bcd,bd->bc", vecs, q_score,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision,
         )
         if metric == "l2":
             scores = 2.0 * dots - bucket_sq[cluster]

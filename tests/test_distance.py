@@ -109,3 +109,25 @@ def test_two_stage_ip_and_cosine():
             len(set(a.tolist()) & set(b.tolist())) / 5 for a, b in zip(i1, i2)
         ])
         assert overlap >= 0.95, (metric, overlap)
+
+
+def test_exact_engine_device_resident():
+    from leann_tpu.ops.distance import ExactEngine
+
+    rng = np.random.default_rng(9)
+    vectors = rng.standard_normal((3000, 48)).astype(np.float32)
+    queries = rng.standard_normal((8, 48)).astype(np.float32)
+    for metric in ("ip", "l2", "cosine"):
+        eng = ExactEngine(vectors, metric=metric)
+        idx, scores = eng.search(queries, k=10)
+        _, oracle = exact_topk(queries, vectors, 10, metric=metric)
+        overlap = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(idx, oracle)
+        ])
+        assert overlap >= 0.99, (metric, overlap)
+        assert (np.diff(scores, axis=1) <= 1e-5).all()
+        # exact_scan mode is bit-exact vs the oracle scores
+        idx_e, scores_e = eng.search(queries, k=10, exact_scan=True)
+        s_o, _ = exact_topk(queries, vectors, 10, metric=metric)
+        np.testing.assert_allclose(scores_e, s_o, rtol=1e-4, atol=1e-4)
