@@ -183,6 +183,36 @@ class IvfEngine:
         self.bucket_sq = jnp.sum(
             self.bucket_vecs * self.bucket_vecs, axis=2
         )
+        self._bucket_vecs_bf16: Optional[jnp.ndarray] = None
+
+    def _bf16_buckets(self) -> jnp.ndarray:
+        if self._bucket_vecs_bf16 is None:
+            self._bucket_vecs_bf16 = self.bucket_vecs.astype(jnp.bfloat16)
+        return self._bucket_vecs_bf16
+
+    def search_pallas(
+        self, queries: np.ndarray, k: int = 10, nprobe: int = 32,
+        interpret: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fused-kernel path (ops/pallas_kernels.py): the probed bucket
+        blocks stream HBM->VMEM as bf16 via pallas-pipelined DMAs instead
+        of a materialized XLA gather."""
+        from leann_tpu.ops.pallas_kernels import ivf_search_pallas
+
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        nprobe = min(nprobe, self.bucket_cent.shape[0])
+        k = min(k, self.n)
+        scores, ids = ivf_search_pallas(
+            jnp.asarray(q), self.bucket_cent, self.bucket_ids,
+            self._bf16_buckets(), self.bucket_sq,
+            k=k, nprobe=nprobe, metric=self.metric, sentinel=self.n,
+            interpret=interpret,
+        )
+        return np.asarray(ids), np.asarray(scores)
 
     def search(
         self, queries: np.ndarray, k: int = 10, nprobe: int = 32,
