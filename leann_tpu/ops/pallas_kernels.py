@@ -1,24 +1,29 @@
 """Hand-written Pallas TPU kernels for the hot ops.
 
-ivf_bucket_scores: fused gather+score for IVF search. The XLA version
-(`ops/ivf.py:ivf_search`) materializes the gathered bucket blocks
-[B, cap, D] to HBM and then reads them back for the einsum — 2x the
-traffic, f32 width. This kernel instead drives the whole probe fan-out
-as a (B, nprobe) grid where each program's BlockSpec *index_map* reads
-the probed cluster id from a scalar-prefetch ref, so Pallas pipelines
-the HBM->VMEM block DMAs (double-buffered) straight into the score
-computation. Bucket vectors stream as bf16 (half the bytes); scores
-accumulate f32.
+ivf_bucket_dots: fused gather+score for IVF search. The XLA path
+(`ops/ivf.py:ivf_search`) materializes gathered bucket blocks [B, cap, D]
+to HBM and reads them back for the einsum. This kernel keeps the bucket
+table in HBM un-blocked and explicitly DMAs each program's probed bucket
+blocks into VMEM scratch (bf16 — half the traffic), overlapping the
+eight per-query DMAs, then runs one bf16 contraction per program.
 
-Falls back transparently: callers use `pallas_available()` and keep the
-XLA path as the reference implementation (also used on CPU, where the
-kernel runs in interpreter mode for tests).
+TPU tiling rules shape the layout (blocks' trailing dims must be
+(8k, 128k) or span the array):
+  - grid (B/8, P): eight queries per program -> query block (8, D)
+  - output [P, B, cap_pad] with block (1, 8, cap_pad); cap is padded to
+    a multiple of 128 (pad slots carry sentinel ids and are masked by
+    the caller)
+  - bucket table passed with memory_space=ANY (no blocking); rows are
+    pulled with make_async_copy inside the kernel
+
+Correctness is tested in interpreter mode on CPU; the compiled path runs
+on real TPU hardware.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -27,69 +32,80 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+QGROUP = 8  # queries per program (f32 sublane granularity)
+
 
 def pallas_available() -> bool:
-    """True when running on a real TPU backend (compiled pallas);
-    CPU uses interpret mode (tests only — too slow for serving)."""
+    """True on a real TPU backend (compiled pallas); CPU tests use
+    interpret mode."""
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:
         return False
 
 
-def _bucket_score_kernel(probe_ref, q_ref, v_ref, sq_ref, o_ref, *, metric):
-    # q_ref:  [1, D]      query row (f32)
-    # v_ref:  [1, cap, D] probed bucket block (bf16), DMA'd by BlockSpec
-    # sq_ref: [1, cap]    |v|^2 (f32)
-    # o_ref:  [1, 1, cap] scores out (f32)
-    q = q_ref[0, :].astype(jnp.bfloat16)                    # [D]
-    v = v_ref[0]                                            # [cap, D] bf16
-    dots = jnp.dot(v, q, preferred_element_type=jnp.float32)  # [cap]
-    if metric == "l2":
-        scores = 2.0 * dots - sq_ref[0, :]
-    else:
-        scores = dots
-    o_ref[0, 0, :] = scores
+def _bucket_dots_kernel(probe_ref, q_ref, vecs_hbm, o_ref, scratch, sems):
+    # probe_ref: [B, P] int32 (scalar prefetch, SMEM)
+    # q_ref:     [QGROUP, D] f32 block for this program's queries
+    # vecs_hbm:  [K, cap_pad, D] bf16, un-blocked (ANY/HBM)
+    # o_ref:     [1, QGROUP, cap_pad] f32 out block
+    # scratch:   [QGROUP, cap_pad, D] bf16 VMEM
+    # sems:      DMA semaphores [QGROUP]
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    for t in range(QGROUP):
+        c = probe_ref[i * QGROUP + t, j]
+        pltpu.make_async_copy(
+            vecs_hbm.at[c], scratch.at[t], sems.at[t]
+        ).start()
+    for t in range(QGROUP):
+        pltpu.make_async_copy(
+            vecs_hbm.at[0], scratch.at[t], sems.at[t]
+        ).wait()
+
+    q = q_ref[:].astype(jnp.bfloat16)                      # [QGROUP, D]
+    dots = jax.lax.dot_general(
+        scratch[:], q,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),    # [QG, cap, D]x[QG, D]
+        preferred_element_type=jnp.float32,
+    )                                                      # [QGROUP, cap_pad]
+    o_ref[0] = dots
 
 
-@functools.partial(
-    jax.jit, static_argnames=("metric", "interpret")
-)
-def ivf_bucket_scores(
-    queries: jnp.ndarray,       # [B, D] f32
-    probe: jnp.ndarray,         # [B, P] int32 bucket rows to score
-    bucket_vecs: jnp.ndarray,   # [K, cap, D] bf16
-    bucket_sq: jnp.ndarray,     # [K, cap] f32
-    metric: str = "ip",
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def ivf_bucket_dots(
+    queries: jnp.ndarray,       # [B, D] f32, B % QGROUP == 0
+    probe: jnp.ndarray,         # [B, P] int32
+    bucket_vecs: jnp.ndarray,   # [K, cap_pad, D] bf16, cap_pad % 128 == 0
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Returns scores [B, P, cap] (f32)."""
+    """Returns dots [P, B, cap_pad] f32 (query . bucket_vector)."""
     b, d = queries.shape
     p = probe.shape[1]
-    k, cap, _ = bucket_vecs.shape
+    k, cap_pad, _ = bucket_vecs.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, p),
+        grid=(b // QGROUP, p),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i, j, probe_ref: (i, 0)),
-            pl.BlockSpec(
-                (1, cap, d), lambda i, j, probe_ref: (probe_ref[i, j], 0, 0)
-            ),
-            pl.BlockSpec(
-                (1, cap), lambda i, j, probe_ref: (probe_ref[i, j], 0)
-            ),
+            pl.BlockSpec((QGROUP, d), lambda i, j, pref: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, cap), lambda i, j, probe_ref: (i, j, 0)
+            (1, QGROUP, cap_pad), lambda i, j, pref: (j, i, 0)
         ),
+        scratch_shapes=[
+            pltpu.VMEM((QGROUP, cap_pad, d), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((QGROUP,)),
+        ],
     )
     return pl.pallas_call(
-        functools.partial(_bucket_score_kernel, metric=metric),
-        out_shape=jax.ShapeDtypeStruct((b, p, cap), jnp.float32),
+        _bucket_dots_kernel,
+        out_shape=jax.ShapeDtypeStruct((p, b, cap_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(probe, queries, bucket_vecs, bucket_sq)
+    )(probe, queries, bucket_vecs)
 
 
 @functools.partial(
@@ -97,34 +113,37 @@ def ivf_bucket_scores(
     static_argnames=("k", "nprobe", "metric", "sentinel", "interpret"),
 )
 def ivf_search_pallas(
-    queries,          # [B, D] f32
+    queries,          # [B, D] f32, B % QGROUP == 0
     centroids,        # [K', D] f32
-    bucket_ids,       # [K', cap] int32
-    bucket_vecs_bf16,  # [K', cap, D] bf16
-    bucket_sq,        # [K', cap] f32
+    bucket_ids_pad,   # [K', cap_pad] int32 (pad = sentinel)
+    bucket_vecs_bf16,  # [K', cap_pad, D] bf16
+    bucket_sq_pad,    # [K', cap_pad] f32
     k: int,
     nprobe: int,
     metric: str,
     sentinel: int,
     interpret: bool = False,
 ):
-    """Full IVF search with the fused kernel: centroid GEMM -> top-nprobe
-    -> one pallas call scoring every probed bucket -> one top-k over the
-    flattened [B, P*cap] candidate row."""
+    """Centroid GEMM -> top-nprobe -> fused bucket kernel -> one top-k
+    over the flattened [B, P*cap] candidates."""
     from leann_tpu.ops.distance import NEG_INF, pairwise_scores
 
     b = queries.shape[0]
-    cap = bucket_ids.shape[1]
+    cap_pad = bucket_ids_pad.shape[1]
     c_scores = pairwise_scores(queries, centroids, metric)
     _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
 
-    scores = ivf_bucket_scores(
-        queries, probe, bucket_vecs_bf16, bucket_sq,
-        metric=metric, interpret=interpret,
-    )                                                        # [B, P, cap]
-    ids = bucket_ids[probe]                                  # [B, P, cap]
-    scores = scores.reshape(b, nprobe * cap)
-    ids = ids.reshape(b, nprobe * cap)
+    dots = ivf_bucket_dots(
+        queries, probe, bucket_vecs_bf16, interpret=interpret
+    )                                                        # [P, B, cap]
+    dots = dots.transpose(1, 0, 2)                           # [B, P, cap]
+    ids = bucket_ids_pad[probe]                              # [B, P, cap]
+    if metric == "l2":
+        scores = 2.0 * dots - bucket_sq_pad[probe]
+    else:
+        scores = dots
+    scores = scores.reshape(b, nprobe * cap_pad)
+    ids = ids.reshape(b, nprobe * cap_pad)
     scores = jnp.where(ids == sentinel, NEG_INF, scores)
     ids = jnp.where(ids == sentinel, -1, ids)
     top_scores, pos = jax.lax.top_k(scores, k)

@@ -15,31 +15,28 @@ def make_corpus(n, d, seed=0, clusters=32):
     return (centers[assign] + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
 
 
-def test_bucket_scores_kernel_matches_reference():
+def test_bucket_dots_kernel_matches_reference():
     import jax.numpy as jnp
 
-    from leann_tpu.ops.pallas_kernels import ivf_bucket_scores
+    from leann_tpu.ops.pallas_kernels import ivf_bucket_dots
 
     rng = np.random.default_rng(0)
-    K, cap, D, B, P = 8, 16, 128, 4, 3
+    K, cap, D, B, P = 8, 128, 128, 16, 3  # cap % 128 == 0, B % 8 == 0
     bucket_vecs = rng.standard_normal((K, cap, D)).astype(np.float32)
     queries = rng.standard_normal((B, D)).astype(np.float32)
     probe = rng.integers(0, K, (B, P)).astype(np.int32)
-    sq = (bucket_vecs ** 2).sum(axis=2).astype(np.float32)
 
-    got = np.asarray(ivf_bucket_scores(
+    got = np.asarray(ivf_bucket_dots(
         jnp.asarray(queries), jnp.asarray(probe),
-        jnp.asarray(bucket_vecs).astype(jnp.bfloat16), jnp.asarray(sq),
-        metric="l2", interpret=True,
-    ))
-    # reference in numpy (bf16-rounded vectors, f32 math)
+        jnp.asarray(bucket_vecs).astype(jnp.bfloat16),
+        interpret=True,
+    ))                                                   # [P, B, cap]
     vb = np.asarray(jnp.asarray(bucket_vecs).astype(jnp.bfloat16).astype(jnp.float32))
     qb = np.asarray(jnp.asarray(queries).astype(jnp.bfloat16).astype(jnp.float32))
     for b in range(B):
         for p in range(P):
-            dots = vb[probe[b, p]] @ qb[b]
-            expected = 2 * dots - sq[probe[b, p]]
-            np.testing.assert_allclose(got[b, p], expected, rtol=2e-2, atol=2e-2)
+            expected = vb[probe[b, p]] @ qb[b]
+            np.testing.assert_allclose(got[p, b], expected, rtol=2e-2, atol=2e-2)
 
 
 @pytest.mark.parametrize("metric", ["l2", "ip"])
@@ -52,7 +49,7 @@ def test_ivf_search_pallas_matches_xla_path(metric):
     idx_pal, scores_pal = eng.search_pallas(
         queries, k=10, nprobe=8, interpret=True
     )
-    # same candidates (bf16 both sides; ordering ties may differ)
+    # both paths rescore in f32: candidate sets should agree
     for a, b in zip(idx_xla, idx_pal):
         assert len(set(a.tolist()) & set(b.tolist())) >= 9
     # recall vs oracle
@@ -63,3 +60,21 @@ def test_ivf_search_pallas_matches_xla_path(metric):
     ])
     assert rec >= 0.9
     assert (np.diff(scores_pal, axis=1) <= 1e-4).all()
+
+
+def test_ivf_rescore_restores_f32_ranking():
+    """bf16-final scoring loses near-ties; the f32 rescore must agree
+    with the exact oracle's ranking."""
+    x = make_corpus(2000, 64, seed=2, clusters=16)
+    eng = IvfEngine(x, n_clusters=16, metric="l2")
+    q = x[[55, 999]] + 0.005
+    idx, scores = eng.search(q, k=10, nprobe=16)
+    s_oracle, i_oracle = exact_topk(q, x, 10, metric="l2")
+    # rescored scores are true f32 scores
+    for row in range(2):
+        got = dict(zip(idx[row].tolist(), scores[row].tolist()))
+        ref = dict(zip(i_oracle[row].tolist(), s_oracle[row].tolist()))
+        common = set(got) & set(ref)
+        assert len(common) >= 9
+        for i in common:
+            assert abs(got[i] - ref[i]) < 1e-2
