@@ -10,9 +10,10 @@ Target from BASELINE.json: >=10k batched QPS per v5e chip
 (vs_baseline = qps / 10000).
 
 Measured on TPU v5e, mixture-of-gaussians 128d:
-  N=1M:   ivf nprobe=8  -> 16.4k QPS @ recall@10 1.000 (kmeans build 20s)
+  N=1M:   ivf nprobe=8 (bf16 scan + f32 rescore) -> 18.3k QPS @ recall@10
+          0.9998 (kmeans build 20s steady-state)
           flat two-stage -> 11.6k QPS @ overlap 0.9998 vs f32 oracle
-  N=100k: ivf nprobe=8  -> 25.7k QPS @ 0.998; nprobe=32 -> 19.6k @ 1.000
+  N=100k: ivf nprobe=8 -> 25.7k QPS @ 0.998
           vamana beam=32 E=2 -> 6.2k QPS @ 0.992
 """
 

@@ -64,13 +64,21 @@ def _bucket_dots_kernel(probe_ref, q_ref, vecs_hbm, o_ref, scratch, sems):
             vecs_hbm.at[0], scratch.at[t], sems.at[t]
         ).wait()
 
+    # Mosaic lowers neither batched dot_general nor 1-wide matvecs; do
+    # one wide 2D dot for the whole group ([QG*cap, D] x [D, QG] on the
+    # MXU) and select each query's own column with an iota mask. The 8x
+    # extra MXU work is negligible next to the DMA traffic.
     q = q_ref[:].astype(jnp.bfloat16)                      # [QGROUP, D]
-    dots = jax.lax.dot_general(
-        scratch[:], q,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),    # [QG, cap, D]x[QG, D]
-        preferred_element_type=jnp.float32,
-    )                                                      # [QGROUP, cap_pad]
-    o_ref[0] = dots
+    cap_pad = scratch.shape[1]
+    flat = scratch[:].reshape(QGROUP * cap_pad, scratch.shape[2])
+    allc = jnp.dot(
+        flat, q.T, preferred_element_type=jnp.float32
+    ).reshape(QGROUP, cap_pad, QGROUP)
+    own = (
+        jax.lax.broadcasted_iota(jnp.int32, (QGROUP, cap_pad, QGROUP), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (QGROUP, cap_pad, QGROUP), 2)
+    )
+    o_ref[0] = jnp.sum(jnp.where(own, allc, 0.0), axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
