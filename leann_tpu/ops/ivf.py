@@ -235,17 +235,30 @@ class IvfEngine:
         k = min(k, self.n)
         ids_pad, vecs_bf16, sq_pad = self._padded_bf16_tables()
         c = min(max(rescore_factor * k, k), self.n)
-        _, cand = ivf_search_pallas(
-            jnp.asarray(q), self.bucket_cent, ids_pad, vecs_bf16, sq_pad,
-            k=c, nprobe=nprobe, metric=self.metric, sentinel=self.n,
-            interpret=interpret,
-        )
         from leann_tpu.ops.distance import _rescore_topk
 
-        scores, ids = _rescore_topk(
-            jnp.asarray(q), self._corpus(), cand, k, self.metric
-        )
-        return np.asarray(ids)[:b], np.asarray(scores)[:b]
+        # the scalar-prefetch probe table lives in SMEM (~32KB budget):
+        # chunk the batch so B*nprobe*4 bytes stays under it
+        chunk = max(QGROUP, (24576 // (4 * nprobe)) // QGROUP * QGROUP)
+        out_ids, out_scores = [], []
+        for start in range(0, q.shape[0], chunk):
+            qc = q[start : start + chunk]
+            if qc.shape[0] % QGROUP:
+                pad = QGROUP - qc.shape[0] % QGROUP
+                qc = np.concatenate([qc, np.zeros((pad, self.d), np.float32)])
+            _, cand = ivf_search_pallas(
+                jnp.asarray(qc), self.bucket_cent, ids_pad, vecs_bf16,
+                sq_pad, k=c, nprobe=nprobe, metric=self.metric,
+                sentinel=self.n, interpret=interpret,
+            )
+            scores, ids = _rescore_topk(
+                jnp.asarray(qc), self._corpus(), cand, k, self.metric
+            )
+            out_ids.append(np.asarray(ids))
+            out_scores.append(np.asarray(scores))
+        ids = np.concatenate(out_ids)[:b]
+        scores = np.concatenate(out_scores)[:b]
+        return ids, scores
 
     def search(
         self, queries: np.ndarray, k: int = 10, nprobe: int = 32,

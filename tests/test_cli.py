@@ -263,3 +263,35 @@ def test_metrics_endpoint_and_spans(workdir):
         assert "span_search_ann_seconds" in body
     finally:
         server.shutdown()
+
+
+def test_config_file_provider_precedence(workdir, capsys):
+    """CLI default embedding-mode 'openai' yields to the config file's
+    provider (reference build.rs:160-172)."""
+    import pathlib
+
+    cfg_dir = pathlib.Path(os.environ["XDG_CONFIG_HOME"]) / "leann"
+    cfg_dir.mkdir(parents=True, exist_ok=True)
+    (cfg_dir / "config.toml").write_text(
+        '[embedding]\nprovider = "fake"\nmodel = "fake"\n'
+    )
+    rc = main(["build", "cfgidx", "--docs", "docs",
+               "--embedding-dimensions", "16"])  # no --embedding-mode
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fake/fake" in out
+
+
+def test_update_ivf_backend(workdir, capsys):
+    _build(workdir, name="ividx", extra=["--backend-name", "ivf"])
+    (workdir / "docs" / "late.md").write_text(
+        "A very late addition mentioning quasars and pulsars."
+    )
+    assert main(["update", "ividx", "--docs", "docs"]) == 0
+    capsys.readouterr()
+    rc = main(["search", "A very late addition mentioning quasars and pulsars.",
+               "-i", "ividx", "--format", "json", "--top-k", "1",
+               "--no-expand"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert "late.md" in data[0]["id"]
