@@ -18,6 +18,14 @@ TPU tiling rules shape the layout (blocks' trailing dims must be
 
 Correctness is tested in interpreter mode on CPU; the compiled path runs
 on real TPU hardware.
+
+Measured (v5e, 1M x 128, nprobe=8, batch 2048): 6.4k QPS at recall
+0.9998 — correct but ~3x slower than the XLA gather+einsum path (19.3k):
+manual per-program DMAs don't pipeline across grid steps the way XLA's
+fused gather does, and the (B/8 x P) grid pays per-program overhead.
+The XLA path remains the default engine; this kernel is kept as the
+explicit-DMA reference implementation for future double-buffered
+iterations.
 """
 
 from __future__ import annotations
