@@ -179,10 +179,12 @@ class IvfEngine:
         self.cap = bucket_ids.shape[1]
         self.bucket_ids = jnp.asarray(bucket_ids)
         self.bucket_cent = jnp.asarray(bucket_cent)
-        self.bucket_vecs = jnp.asarray(bucket_vecs)
-        self.bucket_sq = jnp.sum(
-            self.bucket_vecs * self.bucket_vecs, axis=2
-        )
+        # HBM budget: bucket vectors live ONLY as bf16 (the scan dtype);
+        # exact scores come from the f32 corpus at rescore time. Keeping a
+        # third f32 bucket table would add ~1.3x corpus size for nothing.
+        self.bucket_vecs_bf16 = jnp.asarray(bucket_vecs).astype(jnp.bfloat16)
+        self.bucket_sq = jnp.asarray((bucket_vecs * bucket_vecs).sum(axis=2))
+        self._corpus_dev = jnp.asarray(vectors)
         self._pallas_tables = None
 
     def _padded_bf16_tables(self):
@@ -192,25 +194,17 @@ class IvfEngine:
             cap = self.cap
             cap_pad = -(-cap // 128) * 128
             pad = cap_pad - cap
-            ids = np.asarray(self.bucket_ids)
-            vecs = np.asarray(self.bucket_vecs)
-            sq = np.asarray(self.bucket_sq)
             if pad:
-                kk = ids.shape[0]
-                ids = np.concatenate(
-                    [ids, np.full((kk, pad), self.n, np.int32)], axis=1
+                self._pallas_tables = (
+                    jnp.pad(self.bucket_ids, ((0, 0), (0, pad)),
+                            constant_values=self.n),
+                    jnp.pad(self.bucket_vecs_bf16, ((0, 0), (0, pad), (0, 0))),
+                    jnp.pad(self.bucket_sq, ((0, 0), (0, pad))),
                 )
-                vecs = np.concatenate(
-                    [vecs, np.zeros((kk, pad, self.d), np.float32)], axis=1
+            else:
+                self._pallas_tables = (
+                    self.bucket_ids, self.bucket_vecs_bf16, self.bucket_sq
                 )
-                sq = np.concatenate(
-                    [sq, np.zeros((kk, pad), np.float32)], axis=1
-                )
-            self._pallas_tables = (
-                jnp.asarray(ids),
-                jnp.asarray(vecs).astype(jnp.bfloat16),
-                jnp.asarray(sq),
-            )
         return self._pallas_tables
 
     def search_pallas(
@@ -262,13 +256,13 @@ class IvfEngine:
 
     def search(
         self, queries: np.ndarray, k: int = 10, nprobe: int = 32,
-        approx: bool = True, rescore_factor: int = 4,
+        rescore_factor: int = 4,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """approx=True scores buckets in bf16 (f32 accumulation) and then
-        rescores the rescore_factor*k survivors at full f32 against the
-        resident corpus — bf16 near-tie reordering costs ~0.06 recall@10
-        when the bf16 scores are final (measured at 1M x 128); the
-        rescore recovers it for ~zero cost."""
+        """Buckets are scanned in bf16 (f32 accumulation); the
+        rescore_factor*k survivors are rescored at full f32 against the
+        resident corpus — bf16-final scores cost ~0.06 recall@10 to
+        near-tie reordering (measured at 1M x 128); the rescore recovers
+        it for ~zero cost."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -276,60 +270,39 @@ class IvfEngine:
             q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         nprobe = min(nprobe, self.bucket_cent.shape[0])
         k = min(k, self.n)
-        if approx:
-            c = min(max(rescore_factor * k, k), self.n)
-            _, cand = ivf_search(
-                jnp.asarray(q), self.bucket_cent, self.bucket_ids,
-                self.bucket_vecs, self.bucket_sq,
-                k=c, nprobe=nprobe, metric=self.metric, sentinel=self.n,
-                approx=True,
-            )
-            from leann_tpu.ops.distance import _rescore_topk
+        c = min(max(rescore_factor * k, k), self.n)
+        _, cand = ivf_search(
+            jnp.asarray(q), self.bucket_cent, self.bucket_ids,
+            self.bucket_vecs_bf16, self.bucket_sq,
+            k=c, nprobe=nprobe, metric=self.metric, sentinel=self.n,
+        )
+        from leann_tpu.ops.distance import _rescore_topk
 
-            scores, ids = _rescore_topk(
-                jnp.asarray(q), self._corpus(), cand, k, self.metric
-            )
-        else:
-            scores, ids = ivf_search(
-                jnp.asarray(q), self.bucket_cent, self.bucket_ids,
-                self.bucket_vecs, self.bucket_sq,
-                k=k, nprobe=nprobe, metric=self.metric, sentinel=self.n,
-                approx=False,
-            )
+        scores, ids = _rescore_topk(
+            jnp.asarray(q), self._corpus(), cand, k, self.metric
+        )
         return np.asarray(ids), np.asarray(scores)
 
     def _corpus(self) -> jnp.ndarray:
-        """Original corpus vectors (f32), device-resident, for rescoring
-        by corpus id. Built lazily from the bucket tables (exact same
-        f32 values, scattered back into id order)."""
-        if getattr(self, "_corpus_dev", None) is None:
-            ids = np.asarray(self.bucket_ids).reshape(-1)
-            vecs = np.asarray(self.bucket_vecs).reshape(-1, self.d)
-            corpus = np.zeros((self.n + 1, self.d), np.float32)
-            valid = ids != self.n
-            corpus[ids[valid]] = vecs[valid]
-            self._corpus_dev = jnp.asarray(corpus[: self.n])
         return self._corpus_dev
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "metric", "sentinel", "approx")
+    jax.jit, static_argnames=("k", "nprobe", "metric", "sentinel")
 )
 def ivf_search(
     queries, centroids, bucket_ids, bucket_vecs, bucket_sq,
-    k: int, nprobe: int, metric: str, sentinel: int, approx: bool = True,
+    k: int, nprobe: int, metric: str, sentinel: int,
 ):
+    """Stage-1 candidate generation: bf16 bucket scan with a running
+    top-k; callers rescore the survivors in f32 (IvfEngine.search)."""
     b = queries.shape[0]
     c_scores = pairwise_scores(queries, centroids, metric)
     _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
 
-    if approx:
-        q_score = queries.astype(jnp.bfloat16)
-        bucket_vecs = bucket_vecs.astype(jnp.bfloat16)
-        precision = None
-    else:
-        q_score = queries
-        precision = jax.lax.Precision.HIGHEST
+    q_score = queries.astype(jnp.bfloat16)
+    bucket_vecs = bucket_vecs.astype(jnp.bfloat16)
+    precision = None
 
     init = (
         jnp.full((b, k), NEG_INF, jnp.float32),
