@@ -166,7 +166,7 @@ def _beam_search_core(
 @functools.partial(
     jax.jit,
     static_argnames=("beam_width", "max_iters", "metric", "hash_bits",
-                      "expansions"),
+                      "expansions", "precision"),
 )
 def beam_search_batch(
     queries: jnp.ndarray,      # [B, D] f32
@@ -180,15 +180,20 @@ def beam_search_batch(
     metric: str,
     hash_bits: int = 12,
     expansions: int = 1,
+    precision: str = "highest",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     n_sentinel = vectors.shape[0] - 1
+    # "default" lets the MXU run single-pass bf16 (~6x the f32 rate) —
+    # used by the graph *builder*, where candidate sets are re-measured
+    # by the f32 robust prune anyway; serving search keeps "highest".
+    prec = None if precision == "default" else jax.lax.Precision.HIGHEST
 
     def score_fn(q, ids):
         vecs = vectors[ids]                                     # [B, K, D]
         dots = jnp.einsum(
             "bkd,bd->bk", vecs, q,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         if metric == "l2":
             return 2.0 * dots - sq_norms[ids]

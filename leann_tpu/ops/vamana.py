@@ -266,6 +266,7 @@ def _insert_waves(
             max_iters=max_iters,
             metric=metric,
             expansions=expansions,
+            precision="default",  # builder traversal: bf16 MXU fast path
         )
         # candidate pool: beam ++ current neighbors of p
         cur = adjacency[wave_pad]                                   # [wb, R]
