@@ -59,20 +59,30 @@ def _beam_search_core(
     max_iters: int,
     hash_bits: int = 12,
     expansions: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    track_visited: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """score_fn(queries [B, D], ids [B, K]) -> [B, K] scores (higher =
     better; must return garbage-but-finite for sentinel ids, which the
-    caller masks). Returns (beam_ids [B, L] desc-sorted, beam_scores).
+    caller masks). Returns (beam_ids [B, L] desc-sorted, beam_scores,
+    vlog_ids [B, T], vlog_scores [B, T]).
 
     `expansions` (E) = beam entries expanded per hop. E>1 trades a wider
     per-hop candidate block (E*R gathers + scores, MXU-friendly) for ~E x
     fewer sequential hops — the key latency lever on TPU where per-hop
-    cost is dominated by the gather round trip, not the math."""
+    cost is dominated by the gather round trip, not the math.
+
+    `track_visited` (T) > 0 records the first T *expanded* nodes per
+    query (the Vamana visited set V). The graph builder prunes over
+    V ++ beam: without V's early, far-from-target expansions the alpha
+    rule never creates long-range edges and large graphs lose
+    navigability (measured: recall@10 collapsed 0.99 -> 0.28 going
+    50k -> 1M when pruning from the final beam alone)."""
     b, _ = queries.shape
     r = adjacency.shape[1]
     L = beam_width
     E = max(1, min(expansions, L))
     H = 1 << hash_bits
+    T = max(track_visited, E)  # log granularity is E per iteration
 
     entry_ids = jnp.full((b, 1), entry, jnp.int32)
     entry_score = score_fn(queries, entry_ids)[:, 0]
@@ -90,8 +100,13 @@ def _beam_search_core(
         jnp.arange(b), _hash_slot(jnp.full((b,), entry, jnp.int32), hash_bits)
     ].set(entry)
 
+    vlog_ids = jnp.full((b, T), n_sentinel, dtype=jnp.int32)
+    vlog_scores = jnp.full((b, T), NEG_INF, dtype=jnp.float32)
+
     def unexpanded_mask(state):
-        beam_ids, beam_scores, expanded, visited, it = state
+        beam_ids = state[0]
+        beam_scores = state[1]
+        expanded = state[2]
         return (~expanded) & (beam_ids != n_sentinel) & (beam_scores > NEG_INF)
 
     def cond(state):
@@ -99,7 +114,7 @@ def _beam_search_core(
         return (it < max_iters) & jnp.any(unexpanded_mask(state))
 
     def body(state):
-        beam_ids, beam_scores, expanded, visited, it = state
+        beam_ids, beam_scores, expanded, visited, it, vlog_ids, vlog_scores = state
         mask = unexpanded_mask(state)
         sel_scores = jnp.where(mask, beam_scores, NEG_INF)
         # expand the E best unexpanded entries this hop
@@ -107,6 +122,24 @@ def _beam_search_core(
         active = top_sel > NEG_INF                                  # [B, E]
         u = jnp.take_along_axis(beam_ids, u_pos, axis=1)            # [B, E]
         u = jnp.where(active, u, 0)
+
+        if track_visited > 0:
+            # append this hop's expansions to the visited log (writes
+            # beyond T are dropped — the early/far expansions matter most)
+            pos_cols = it * E + jax.lax.broadcasted_iota(
+                jnp.int32, (b, E), 1
+            )
+            rows = jnp.arange(b)[:, None].repeat(E, axis=1)
+            keep = active & (pos_cols < T)
+            safe_cols = jnp.minimum(pos_cols, T - 1)
+            vlog_ids = vlog_ids.at[rows, safe_cols].set(
+                jnp.where(keep, u, vlog_ids[rows, safe_cols]),
+                mode="drop",
+            )
+            vlog_scores = vlog_scores.at[rows, safe_cols].set(
+                jnp.where(keep, top_sel, vlog_scores[rows, safe_cols]),
+                mode="drop",
+            )
 
         hit = (
             jax.lax.broadcasted_iota(jnp.int32, (b, E, L), 2)
@@ -151,13 +184,15 @@ def _beam_search_core(
         top_scores, pos = jax.lax.top_k(all_scores, L)
         top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
         top_exp = jnp.take_along_axis(all_exp, pos, axis=1)
-        return (top_ids, top_scores, top_exp, visited, it + 1)
+        return (top_ids, top_scores, top_exp, visited, it + 1,
+                vlog_ids, vlog_scores)
 
-    state = (beam_ids, beam_scores, expanded, visited, jnp.int32(0))
-    beam_ids, beam_scores, expanded, visited, _ = jax.lax.while_loop(
-        cond, body, state
+    state = (beam_ids, beam_scores, expanded, visited, jnp.int32(0),
+             vlog_ids, vlog_scores)
+    beam_ids, beam_scores, expanded, visited, _, vlog_ids, vlog_scores = (
+        jax.lax.while_loop(cond, body, state)
     )
-    return beam_ids, beam_scores
+    return beam_ids, beam_scores, vlog_ids, vlog_scores
 
 
 # ---------------------------------------------------------------- stored-vector
@@ -166,7 +201,7 @@ def _beam_search_core(
 @functools.partial(
     jax.jit,
     static_argnames=("beam_width", "max_iters", "metric", "hash_bits",
-                      "expansions", "precision"),
+                      "expansions", "precision", "track_visited"),
 )
 def beam_search_batch(
     queries: jnp.ndarray,      # [B, D] f32
@@ -181,7 +216,10 @@ def beam_search_batch(
     hash_bits: int = 12,
     expansions: int = 1,
     precision: str = "highest",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    track_visited: int = 0,
+) -> Tuple[jnp.ndarray, ...]:
+    """Returns (beam_ids, beam_scores); with track_visited=T > 0 also
+    (vlog_ids [B, T], vlog_scores [B, T]) — see _beam_search_core."""
     n_sentinel = vectors.shape[0] - 1
     # "default" lets the MXU run single-pass bf16 (~6x the f32 rate) —
     # used by the graph *builder*, where candidate sets are re-measured
@@ -199,10 +237,12 @@ def beam_search_batch(
             return 2.0 * dots - sq_norms[ids]
         return dots
 
-    return _beam_search_core(
+    out = _beam_search_core(
         queries, adjacency, entry, exclude, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
+        track_visited,
     )
+    return out if track_visited > 0 else out[:2]
 
 
 # ---------------------------------------------------------------- recompute
@@ -254,7 +294,7 @@ def beam_search_recompute_batch(
     return _beam_search_core(
         queries, adjacency, entry, exclude, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
-    )
+    )[:2]
 
 
 # ---------------------------------------------------------------- host API

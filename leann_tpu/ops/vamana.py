@@ -252,7 +252,7 @@ def _insert_waves(
         ).astype(np.int32)
         q = np.asarray(vectors[wave_pad])                           # [wb, D]
 
-        beam_ids, _ = beam_search_batch(
+        beam_ids, _, vlog_ids, _ = beam_search_batch(
             jnp.asarray(q),
             vecs_dev,
             adjacency,
@@ -267,10 +267,15 @@ def _insert_waves(
             metric=metric,
             expansions=expansions,
             precision="default",  # builder traversal: bf16 MXU fast path
+            # Vamana prunes over the search's VISITED set, not just the
+            # final beam: the early (far) expansions are what the alpha
+            # rule turns into long-range edges; without them large graphs
+            # lose navigability (recall@10 0.99 -> 0.28 at 50k -> 1M)
+            track_visited=2 * beam_width,
         )
-        # candidate pool: beam ++ current neighbors of p
+        # candidate pool: visited-set ++ beam ++ current neighbors of p
         cur = adjacency[wave_pad]                                   # [wb, R]
-        cand_ids = jnp.concatenate([beam_ids, cur], axis=1)
+        cand_ids = jnp.concatenate([vlog_ids, beam_ids, cur], axis=1)
         # self can appear via current-neighbor lists: mask it
         cand_ids = jnp.where(
             cand_ids == jnp.asarray(wave_pad)[:, None], sentinel, cand_ids
