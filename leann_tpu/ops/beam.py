@@ -84,21 +84,34 @@ def _beam_search_core(
     H = 1 << hash_bits
     T = max(track_visited, E)  # log granularity is E per iteration
 
-    entry_ids = jnp.full((b, 1), entry, jnp.int32)
-    entry_score = score_fn(queries, entry_ids)[:, 0]
+    # entry may be a scalar (medoid), an [S] vector of shared seed nodes,
+    # or a [B, S] matrix of per-query entries — multiple entries let every
+    # query start its descent near its own region (CAGRA-style), which
+    # matters more than long-range edges on strongly clustered corpora.
+    entries = jnp.asarray(entry, jnp.int32)
+    if entries.ndim == 0:
+        entries = entries[None]
+    if entries.ndim == 1:
+        s_n = entries.shape[0]
+        entry_rows = jnp.broadcast_to(entries[None, :], (b, s_n))
+    else:
+        s_n = entries.shape[1]
+        entry_rows = entries
+    entry_scores = score_fn(queries, entry_rows)                 # [B, S]
     beam_ids = jnp.full((b, L), n_sentinel, dtype=jnp.int32)
-    beam_ids = beam_ids.at[:, 0].set(entry)
+    beam_ids = beam_ids.at[:, :s_n].set(entry_rows)
     beam_scores = jnp.full((b, L), NEG_INF, dtype=jnp.float32)
-    # The entry keeps its real score even when excluded (so traversal can
+    # Entries keep their real scores even when excluded (so traversal can
     # start); `exclude` only gates *candidate* admission. Callers that
     # exclude a node (the Vamana builder excluding the point being
     # inserted) drop it from the returned beam themselves.
-    beam_scores = beam_scores.at[:, 0].set(entry_score)
+    beam_scores = beam_scores.at[:, :s_n].set(entry_scores)
     expanded = jnp.zeros((b, L), dtype=jnp.bool_)
     visited = jnp.full((b, H), -1, dtype=jnp.int32)
     visited = visited.at[
-        jnp.arange(b), _hash_slot(jnp.full((b,), entry, jnp.int32), hash_bits)
-    ].set(entry)
+        jnp.arange(b)[:, None].repeat(s_n, axis=1),
+        _hash_slot(entry_rows, hash_bits),
+    ].set(entry_rows, mode="drop")
 
     vlog_ids = jnp.full((b, T), n_sentinel, dtype=jnp.int32)
     vlog_scores = jnp.full((b, T), NEG_INF, dtype=jnp.float32)
@@ -201,7 +214,8 @@ def _beam_search_core(
 @functools.partial(
     jax.jit,
     static_argnames=("beam_width", "max_iters", "metric", "hash_bits",
-                      "expansions", "precision", "track_visited"),
+                      "expansions", "precision", "track_visited",
+                      "n_entries"),
 )
 def beam_search_batch(
     queries: jnp.ndarray,      # [B, D] f32
@@ -217,9 +231,15 @@ def beam_search_batch(
     expansions: int = 1,
     precision: str = "highest",
     track_visited: int = 0,
+    seed_ids=None,
+    n_entries: int = 16,
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (beam_ids, beam_scores); with track_visited=T > 0 also
-    (vlog_ids [B, T], vlog_scores [B, T]) — see _beam_search_core."""
+    (vlog_ids [B, T], vlog_scores [B, T]) — see _beam_search_core.
+
+    seed_ids [M]: when given, each query scores the seed pool (one cheap
+    contraction) and starts from its n_entries best seeds instead of the
+    shared entry — query-adaptive entry selection."""
     n_sentinel = vectors.shape[0] - 1
     # "default" lets the MXU run single-pass bf16 (~6x the f32 rate) —
     # used by the graph *builder*, where candidate sets are re-measured
@@ -237,6 +257,13 @@ def beam_search_batch(
             return 2.0 * dots - sq_norms[ids]
         return dots
 
+    if seed_ids is not None:
+        m = seed_ids.shape[0]
+        seed_rows = jnp.broadcast_to(seed_ids[None, :], (queries.shape[0], m))
+        seed_scores = score_fn(queries, seed_rows)           # [B, M]
+        s_eff = min(n_entries, m)
+        _, best = jax.lax.top_k(seed_scores, s_eff)
+        entry = jnp.take_along_axis(seed_rows, best, axis=1)  # [B, S]
     out = _beam_search_core(
         queries, adjacency, entry, exclude, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
@@ -346,7 +373,18 @@ class BeamSearchEngine:
         self.adjacency = jnp.asarray(adj)
         vf = np.asarray(self.vectors, dtype=np.float32)
         self.sq_norms = jnp.asarray((vf * vf).sum(axis=1))
-        self.medoid = jnp.int32(medoid)
+        self.medoid = int(medoid)
+        # query-adaptive entry selection: a fixed random seed pool is
+        # scored per query (one contraction) and each query starts from
+        # its best seeds — on clustered corpora this lands the descent
+        # inside the right region immediately
+        rng = np.random.default_rng(0)
+        pool = int(min(1024, max(1, self.n)))
+        seeds = rng.choice(self.n, size=pool, replace=False)
+        self.seed_ids = jnp.asarray(
+            np.unique(np.concatenate([[medoid], seeds])).astype(np.int32)
+        )
+        self.entries = jnp.int32(medoid)
 
     def search(
         self,
@@ -390,13 +428,15 @@ class BeamSearchEngine:
             self.vectors,
             self.adjacency,
             self.sq_norms,
-            self.medoid,
+            self.entries,
             jnp.asarray(exc),
             beam_width=beam_width,
             max_iters=max_iters,
             metric=self.metric,
             hash_bits=self.hash_bits,
             expansions=self.expansions,
+            seed_ids=self.seed_ids,
+            n_entries=min(16, beam_width // 2),
         )
         return ids[:b], scores[:b]
 
