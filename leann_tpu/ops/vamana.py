@@ -38,7 +38,7 @@ from leann_tpu.ops.beam import beam_search_batch
 INF = float("inf")
 
 
-@functools.partial(jax.jit, static_argnames=("degree",))
+@functools.partial(jax.jit, static_argnames=("degree", "precision"))
 def robust_prune_batch(
     point_vecs: jnp.ndarray,   # [W, D]
     cand_ids: jnp.ndarray,     # [W, C] int32, sentinel = invalid
@@ -46,16 +46,23 @@ def robust_prune_batch(
     sentinel: jnp.ndarray,     # [] int32
     alpha: jnp.ndarray,        # [] f32
     degree: int,
+    precision: str = "highest",
 ) -> jnp.ndarray:
-    """Returns [W, degree] pruned neighbor ids (sentinel-padded)."""
+    """Returns [W, degree] pruned neighbor ids (sentinel-padded).
+
+    precision="default" runs the pairwise-distance einsums single-pass
+    bf16 (~6x MXU rate) — the alpha occlusion comparisons tolerate the
+    ~0.4% relative distance error (boundary cases flip rarely and the
+    graph is redundant); used by the builder's hot path."""
     w, c, d = cand_vecs.shape
+    prec = None if precision == "default" else jax.lax.Precision.HIGHEST
 
     def sqdist(a, b):
-        # squared L2 via the dot trick, full f32
+        # squared L2 via the dot trick, f32 accumulation
         dots = jnp.einsum(
             "wcd,wed->wce", a, b,
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         )
         na = jnp.sum(a * a, axis=-1)
         nb = jnp.sum(b * b, axis=-1)
@@ -282,7 +289,8 @@ def _insert_waves(
         )
         cand_vecs = vecs_dev[cand_ids]
         new_nbrs = robust_prune_batch(
-            jnp.asarray(q), cand_ids, cand_vecs, sentinel, alpha_dev, r
+            jnp.asarray(q), cand_ids, cand_vecs, sentinel, alpha_dev, r,
+            precision="default",
         )
         adjacency = adjacency.at[jnp.asarray(wave_pad[:w])].set(new_nbrs[:w])
 
@@ -319,7 +327,8 @@ def _reverse_prune_block(
     cand_vecs = vecs_dev[cand_ids]
     point_vecs = vecs_dev[uniq]
     new_rows = robust_prune_batch(
-        point_vecs, cand_ids, cand_vecs, sentinel, alpha, degree
+        point_vecs, cand_ids, cand_vecs, sentinel, alpha, degree,
+        precision="default",
     )
     # Pad entries have uniq == sentinel: their candidate set is all
     # sentinel, so new_rows is all sentinel and the scatter rewrites the
