@@ -14,7 +14,8 @@ Measured on TPU v5e, mixture-of-gaussians 128d:
           0.9998 (kmeans build 20s steady-state)
           flat two-stage -> 11.6k QPS @ overlap 0.9998 vs f32 oracle
   N=100k: ivf nprobe=8 -> 25.7k QPS @ 0.998
-          vamana beam=32 E=2 -> 6.2k QPS @ 0.992
+  vamana @ 1M (visited-set prune + query-adaptive entries):
+          beam=32 -> 4.7k QPS @ 0.940; beam=64 -> 2.2k @ 0.976
 """
 
 from __future__ import annotations

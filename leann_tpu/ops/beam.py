@@ -379,7 +379,7 @@ class BeamSearchEngine:
         # its best seeds — on clustered corpora this lands the descent
         # inside the right region immediately
         rng = np.random.default_rng(0)
-        pool = int(min(1024, max(1, self.n)))
+        pool = int(min(max(1024, 4 * int(self.n ** 0.5)), max(1, self.n)))
         seeds = rng.choice(self.n, size=pool, replace=False)
         self.seed_ids = jnp.asarray(
             np.unique(np.concatenate([[medoid], seeds])).astype(np.int32)
