@@ -110,7 +110,45 @@ class IvfSearcher:
         return self.engine.search(queries, k=k, nprobe=max(complexity // 2, 8))
 
 
-def load_searcher(base: str, meta) -> "FlatSearcher | GraphSearcher | IvfSearcher":
+class ShardedSearcher:
+    """Corpus row-sharded exact search over every available device
+    (parallel/sharded.py) behind the backend-searcher interface. Used by
+    `search --sharded` / `serve --sharded` when a mesh of >1 device is
+    available; per-shard graph/ivf serving stays library-level
+    (ShardedGraphIndex builds per-shard subgraphs)."""
+
+    def __init__(self, vectors: np.ndarray, metric: str = "ip"):
+        from leann_tpu.parallel import ShardedFlatIndex, make_mesh
+
+        mesh = make_mesh()
+        self.index = ShardedFlatIndex(
+            np.asarray(vectors), mesh, metric=metric
+        )
+        self.n_shards = mesh.shape["shard"]
+
+    def __len__(self) -> int:
+        return self.index.n
+
+    def search(
+        self, queries: np.ndarray, k: int, complexity: int = 64
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        return self.index.search(queries, k=k)
+
+
+def load_searcher(
+    base: str, meta, sharded: bool = False
+) -> "FlatSearcher | GraphSearcher | IvfSearcher | ShardedSearcher":
+    if sharded:
+        from leann_tpu.store.embeddings import EmbeddingsStore
+
+        vectors = EmbeddingsStore(base, meta.dimensions).all()
+        return ShardedSearcher(
+            np.asarray(vectors), metric=getattr(meta, "metric", "ip")
+        )
+    return _load_local_searcher(base, meta)
+
+
+def _load_local_searcher(base: str, meta):
     import os
 
     from leann_tpu.store.embeddings import EmbeddingsStore

@@ -38,6 +38,9 @@ def add_parser(sub):
     p.add_argument("--embedding-api-base", default=os.environ.get("OPENAI_BASE_URL"))
     p.add_argument("--embedding-host", default=os.environ.get("OLLAMA_HOST"))
     p.add_argument("--query-prompt-template", default=None)
+    p.add_argument("--sharded", action="store_true",
+                   help="Shard the corpus across all devices (exact search "
+                        "over the device mesh)")
     p.set_defaults(func=run)
 
 
@@ -87,7 +90,7 @@ def run(args) -> int:
             rs = RecomputeSearcher(base, provider, document_template=doc_template)
             results = rs.search(qvec, top_k=args.top_k, filter=filt)
     else:
-        searcher = IndexSearcher.load(base)
+        searcher = IndexSearcher.load(base, sharded=args.sharded)
         if not args.no_expand and queryexp.should_expand(query):
             expanded = searcher.expand_query(query)
             if expanded != query:

@@ -61,6 +61,8 @@ def add_parser(sub):
     p.add_argument("--port", type=int, default=3000)
     p.add_argument("--cors", action="store_true")
     p.add_argument("--embedding-api-key", default=os.environ.get("OPENAI_API_KEY"))
+    p.add_argument("--sharded", action="store_true",
+                   help="Shard the corpus across all devices")
     p.set_defaults(func=run)
 
 
@@ -78,7 +80,7 @@ def run(args) -> int:
     if meta.is_pruned:
         searcher = _PrunedAdapter(base, provider, meta)
     else:
-        searcher = IndexSearcher.load(base)
+        searcher = IndexSearcher.load(base, sharded=args.sharded)
     state = ServerState(searcher, provider, template, index_name)
     server = serve(state, host=args.host, port=args.port, cors=args.cors)
     print(f"Serving index '{index_name}' on http://{args.host}:{args.port}")

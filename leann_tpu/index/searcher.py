@@ -46,18 +46,18 @@ class SearchResult:
 
 
 class IndexSearcher:
-    def __init__(self, base: str):
+    def __init__(self, base: str, sharded: bool = False):
         self.base = base
         self.meta = IndexMeta.load(meta_path(base))
         self.passages = PassageStore(base)
         self.ids = read_ids(base)
-        self.backend = load_searcher(base, self.meta)
+        self.backend = load_searcher(base, self.meta, sharded=sharded)
         self._bm25: Optional[Bm25Scorer] = None
         self._bm25_checked = False
 
     @staticmethod
-    def load(base: str) -> "IndexSearcher":
-        return IndexSearcher(base)
+    def load(base: str, sharded: bool = False) -> "IndexSearcher":
+        return IndexSearcher(base, sharded=sharded)
 
     def __len__(self) -> int:
         return len(self.ids)

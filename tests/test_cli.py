@@ -295,3 +295,15 @@ def test_update_ivf_backend(workdir, capsys):
     assert rc == 0
     data = json.loads(capsys.readouterr().out)
     assert "late.md" in data[0]["id"]
+
+
+def test_search_sharded_over_device_mesh(workdir, capsys):
+    """--sharded serves exact search over the 8-device virtual mesh."""
+    _build(workdir)
+    capsys.readouterr()
+    rc = main(["search", 'Tensor processing units accelerate matrix multiplication on the MXU.',
+               "-i", "testidx", "--format", "json", "--top-k", "1",
+               "--no-expand", "--sharded"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert "hardware.md" in data[0]["id"]
