@@ -194,3 +194,18 @@ def test_ivf_backend_end_to_end(tmp_path):
     s = IndexSearcher.load(base)
     res = s.search(provider.embed([texts[222]]), SearchOptions(top_k=3))[0]
     assert res[0].id == "d222"
+
+
+def test_seed_pool_scales_with_n():
+    x = make_corpus(n=4000, d=8, seed=20)
+    _, nn_idx = exact_topk(x, x, 5, metric="l2")
+    adjacency = np.asarray(
+        [[j for j in nn_idx[i].tolist() if j != i][:4] for i in range(4000)],
+        dtype=np.int32,
+    )
+    engine = BeamSearchEngine(x, adjacency, medoid=0, metric="l2")
+    # pool ~ max(1024, 4*sqrt(4000)) = 1024 (deduped, so <= 1025)
+    assert 250 <= engine.seed_ids.shape[0] <= 1025
+    # entries respect the beam: n_entries = min(16, beam // 2)
+    idx, _ = engine.search(x[:8], k=3, beam_width=8)
+    assert idx.shape == (8, 3)
