@@ -8,7 +8,7 @@ plus global -v/--verbose and -q/--quiet.
 from __future__ import annotations
 
 import argparse
-import logging
+
 import sys
 from typing import List, Optional
 
@@ -53,12 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     parser = build_parser()
     args = parser.parse_args(argv)
-    level = (
-        logging.DEBUG if args.verbose
-        else logging.ERROR if args.quiet
-        else logging.WARNING
-    )
-    logging.basicConfig(level=level, format="%(levelname)s %(name)s: %(message)s")
+    from leann_tpu.utils import configure_logging
+
+    configure_logging(verbose=args.verbose, quiet=args.quiet)
     try:
         return args.func(args)
     except KeyboardInterrupt:
