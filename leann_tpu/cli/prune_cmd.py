@@ -4,7 +4,6 @@ recompute mode — LEANN's signature storage/compute tradeoff."""
 
 from __future__ import annotations
 
-import os
 import sys
 
 from leann_tpu.store.embeddings import prune_embeddings

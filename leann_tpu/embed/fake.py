@@ -10,7 +10,7 @@ test double is SimulatedLlm — `src/llm/simulated.rs`.)
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
-import numpy as np
-
 from leann_tpu.index.searcher import IndexSearcher, SearchOptions, SearchResult
 from leann_tpu.llm import LlmProvider
 
