@@ -16,6 +16,11 @@ communication backend to maintain.
 """
 
 from leann_tpu.parallel.mesh import make_mesh
-from leann_tpu.parallel.sharded import ShardedFlatIndex, ShardedGraphIndex
+from leann_tpu.parallel.sharded import (
+    ShardedFlatIndex,
+    ShardedGraphIndex,
+    ShardedIvfIndex,
+)
 
-__all__ = ["make_mesh", "ShardedFlatIndex", "ShardedGraphIndex"]
+__all__ = ["make_mesh", "ShardedFlatIndex", "ShardedGraphIndex",
+           "ShardedIvfIndex"]

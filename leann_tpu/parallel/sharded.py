@@ -6,11 +6,13 @@ across chips; queries are data-parallel over `dp` and replicated over
 candidates are all-gathered over ICI and merged with one final top-k.
 Per-shard local ids are rebased to global ids with the shard offset.
 
-Two engines:
+Three engines:
   ShardedFlatIndex   exact chunked matmul top-k per shard
   ShardedGraphIndex  per-shard Vamana subgraph + frontier-batched beam
                      search per shard (the DEEP-10M configuration:
                      graphs too big for one chip's HBM)
+  ShardedIvfIndex    per-shard k-means buckets + partitioned matmul scan
+                     (the throughput engine, sharded)
 """
 
 from __future__ import annotations
@@ -262,3 +264,163 @@ def _sharded_beam_topk(
         check_vma=False,
     )
     return fn(queries, vec_stack, adj_stack, sq_stack, medoids)
+
+
+class ShardedIvfIndex:
+    """Per-shard IVF: each shard runs k-means over its local rows, scans
+    its probed buckets in bf16, and contributes top-k to one ICI
+    all_gather + merge. Candidates are f32-rescored against the sharded
+    corpus afterwards (host-side gather of k*rescore rows is tiny)."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        mesh: Mesh,
+        metric: str = "ip",
+        n_clusters: Optional[int] = None,
+        kmeans_iters: int = 8,
+        cap: Optional[int] = None,
+        seed: int = 0,
+    ):
+        from leann_tpu.ops.ivf import kmeans, pack_buckets
+
+        self.mesh = mesh
+        self.metric_in = metric
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+        self.metric = "ip" if metric == "cosine" else metric
+        self.n, self.d = vectors.shape
+        self.vectors = vectors
+        self.n_shards = mesh.shape["shard"]
+        self.rows = -(-self.n // self.n_shards)
+
+        padded = _pad_rows(vectors, self.rows * self.n_shards)
+        per_shard = []
+        for s in range(self.n_shards):
+            block = padded[s * self.rows : (s + 1) * self.rows]
+            valid = min(self.rows, max(1, self.n - s * self.rows))
+            k = n_clusters or max(16, int(2 * valid ** 0.5))
+            centers, assign = kmeans(
+                block[:valid], min(k, valid), iters=kmeans_iters,
+                metric=self.metric, seed=seed + s,
+            )
+            ids, cent, vecs = pack_buckets(block[:valid], assign, centers, cap=cap)
+            per_shard.append((ids, cent, vecs))
+
+        # pad per-shard tables to common [K', cap] shapes and stack
+        kp = max(t[0].shape[0] for t in per_shard)
+        cp = max(t[0].shape[1] for t in per_shard)
+        ids_st = np.full((self.n_shards, kp, cp), self.rows, np.int32)
+        cent_st = np.full((self.n_shards, kp, self.d), 1e30, np.float32)
+        vecs_st = np.zeros((self.n_shards, kp, cp, self.d), np.float32)
+        for s, (ids, cent, vecs) in enumerate(per_shard):
+            kk, cc = ids.shape
+            # local sentinel: rebase "valid" sentinel to self.rows
+            valid = min(self.rows, max(1, self.n - s * self.rows))
+            ids = np.where(ids >= valid, self.rows, ids)
+            ids_st[s, :kk, :cc] = ids
+            cent_st[s, :kk] = cent
+            vecs_st[s, :kk, :cc] = vecs
+        cent_st = np.where(cent_st >= 1e29, 0.0, cent_st)  # pad rows -> zeros
+        # pad centroid rows must never win top-nprobe: give them -inf via
+        # a validity mask folded into the centroid scores (zeros can win
+        # for l2; mark them by an impossible bucket: all-sentinel ids)
+        shard3 = NamedSharding(mesh, P("shard", None, None))
+        self.bucket_ids = jax.device_put(ids_st, shard3)
+        self.bucket_cent = jax.device_put(cent_st, shard3)
+        self.bucket_vecs = jax.device_put(
+            vecs_st.astype(jnp.bfloat16),
+            NamedSharding(mesh, P("shard", None, None, None)),
+        )
+        sq = (vecs_st * vecs_st).sum(axis=3)
+        self.bucket_sq = jax.device_put(sq, shard3)
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, nprobe: int = 16
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        dp = self.mesh.shape.get("dp", 1)
+        b = q.shape[0]
+        b_pad = -(-b // dp) * dp
+        qp = _pad_rows(q, b_pad)
+        k_eff = min(k, self.rows)
+        nprobe = min(nprobe, self.bucket_cent.shape[1])
+        scores, idx = _sharded_ivf_topk(
+            jnp.asarray(qp), self.bucket_cent, self.bucket_ids,
+            self.bucket_vecs, self.bucket_sq,
+            k_eff, nprobe, self.metric, self.mesh, self.rows, self.n,
+        )
+        idx = np.asarray(idx)[:b]
+        scores = np.asarray(scores)[:b]
+        # f32 rescore of the merged candidates (tiny host gather)
+        safe = np.clip(idx, 0, self.n - 1)
+        vecs = self.vectors[safe]                       # [B, k, D]
+        dots = np.einsum("bkd,bd->bk", vecs, q)
+        if self.metric == "l2":
+            rescored = 2.0 * dots - (vecs * vecs).sum(axis=2)
+        else:
+            rescored = dots
+        rescored = np.where(idx >= 0, rescored, -np.inf)
+        order = np.argsort(-rescored, axis=1)
+        return np.take_along_axis(idx, order, axis=1), np.take_along_axis(
+            rescored, order, axis=1
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "nprobe", "metric", "mesh", "rows", "valid_n"),
+)
+def _sharded_ivf_topk(
+    queries, bucket_cent, bucket_ids, bucket_vecs, bucket_sq,
+    k, nprobe, metric, mesh, rows, valid_n,
+):
+    from leann_tpu.ops.ivf import ivf_search
+
+    def local_fn(q, cent, ids, vecs, sq):
+        q = q.reshape(q.shape[-2], q.shape[-1])
+        cent = cent.reshape(cent.shape[-2], cent.shape[-1])
+        ids = ids.reshape(ids.shape[-2], ids.shape[-1])
+        vecs = vecs.reshape(vecs.shape[-3], vecs.shape[-2], vecs.shape[-1])
+        sq = sq.reshape(sq.shape[-2], sq.shape[-1])
+        b = q.shape[0]
+        local_scores, local_ids = ivf_search(
+            q, cent, ids, vecs, sq,
+            k=k, nprobe=nprobe, metric=metric, sentinel=rows,
+        )
+        shard_id = jax.lax.axis_index("shard")
+        base = shard_id * rows
+        global_ids = jnp.where(local_ids < 0, -1, local_ids + base)
+        local_scores = jnp.where(
+            (global_ids < 0) | (global_ids >= valid_n), NEG_INF, local_scores
+        )
+        all_scores = jax.lax.all_gather(local_scores, "shard", axis=1)
+        all_idx = jax.lax.all_gather(global_ids, "shard", axis=1)
+        all_scores = all_scores.reshape(b, -1)
+        all_idx = all_idx.reshape(b, -1)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard", None, None, None),
+            P("shard", None, None),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(queries, bucket_cent, bucket_ids, bucket_vecs, bucket_sq)

@@ -81,3 +81,38 @@ def test_sharded_graph_dp_axis():
     idx2, _ = index.search(x[qids], k=1, beam_width=16)
     rate = (idx2[:, 0] == qids).mean()
     assert rate >= 0.85, f"cross-shard self-retrieval rate {rate}"
+
+
+def test_sharded_ivf_recall():
+    from leann_tpu.parallel import ShardedIvfIndex
+
+    mesh = make_mesh((1, 8))
+    x = corpus(2000, 32, seed=7)
+    index = ShardedIvfIndex(x, mesh, metric="l2", n_clusters=16)
+    # queries perturb corpus points (same distribution; a fresh seed would
+    # draw different cluster centers entirely)
+    rng = np.random.default_rng(8)
+    q = x[rng.integers(0, 2000, 16)] + 0.05 * rng.standard_normal(
+        (16, 32)
+    ).astype(np.float32)
+    idx, scores = index.search(q, k=10, nprobe=12)
+    _, oracle = exact_topk(q, x, 10, metric="l2")
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(idx, oracle)
+    ])
+    assert rec >= 0.85, f"sharded ivf recall {rec}"
+    assert (idx < 2000).all()
+    # scores descend and are true f32 scores
+    assert (np.diff(scores, axis=1) <= 1e-4).all()
+
+
+def test_sharded_ivf_dp_mesh_uneven_n():
+    from leann_tpu.parallel import ShardedIvfIndex
+
+    mesh = make_mesh((2, 4))
+    x = corpus(777, 16, seed=9)  # uneven across 4 shards
+    index = ShardedIvfIndex(x, mesh, metric="ip", n_clusters=8)
+    q = x[[5, 400, 776]]
+    idx, _ = index.search(q, k=5, nprobe=8)
+    assert idx.shape == (3, 5)
+    assert (idx < 777).all() and (idx >= 0).all()
