@@ -119,7 +119,7 @@ def build_vamana(
     complexity: int = 64,
     alpha: float = 1.2,
     metric: str = "ip",
-    wave_size: int = 1024,
+    wave_size: int = 8192,
     incoming_cap: int = 8,
     passes: int = 2,
     seed: int = 0,
@@ -191,7 +191,7 @@ def insert_points(
     complexity: int = 64,
     alpha: float = 1.2,
     metric: str = "ip",
-    wave_size: int = 1024,
+    wave_size: int = 8192,
     incoming_cap: int = 8,
     seed: int = 0,
 ) -> np.ndarray:
