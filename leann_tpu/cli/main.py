@@ -36,6 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
         mcp_cmd,
         prune_cmd,
         react_cmd,
+        reindex_cmd,
         remove_cmd,
         search_cmd,
         serve_cmd,
@@ -43,8 +44,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     for mod in (
-        build_cmd, update_cmd, search_cmd, ask_cmd, react_cmd, serve_cmd,
-        list_cmd, remove_cmd, prune_cmd, config_cmd, mcp_cmd,
+        build_cmd, update_cmd, reindex_cmd, search_cmd, ask_cmd, react_cmd,
+        serve_cmd, list_cmd, remove_cmd, prune_cmd, config_cmd, mcp_cmd,
     ):
         mod.add_parser(sub)
     return parser

@@ -1,0 +1,115 @@
+"""`reindex` — rebuild the ANN structure from stored embeddings without
+re-embedding anything.
+
+Uses: switch backends (flat <-> ivf <-> vamana), rebuild after many
+updates, or migrate an index written by Python LEANN / leann-rs — their
+passages/ids/embeddings/meta files are byte-compatible (SURVEY §2.2);
+only the native ANN binary is foreign, and this command replaces it with
+the TPU engine's artifacts. (The reference can only `build --force`,
+which re-embeds the whole corpus.)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from leann_tpu.backend import resolve_backend
+from leann_tpu.index.bm25 import Bm25Scorer, bm25_path
+from leann_tpu.store.embeddings import EmbeddingsStore
+from leann_tpu.store.graphfile import GraphFile, graph_path
+from leann_tpu.store.ivffile import IvfFile, ivf_path
+from leann_tpu.store.locate import find_index, index_base
+from leann_tpu.store.meta import IndexMeta, meta_path
+from leann_tpu.store.passages import PassageStore, read_ids
+
+
+def add_parser(sub):
+    p = sub.add_parser(
+        "reindex",
+        help="Rebuild the ANN structure from stored embeddings "
+             "(switch backends / migrate foreign indexes) without re-embedding",
+    )
+    p.add_argument("index_name")
+    p.add_argument("--backend-name", default=None,
+                   choices=["hnsw", "diskann", "flat", "vamana", "ivf"],
+                   help="Target backend (default: keep current)")
+    p.add_argument("--metric", default=None, choices=["ip", "l2", "cosine"])
+    p.add_argument("--graph-degree", type=int, default=32)
+    p.add_argument("--complexity", type=int, default=64)
+    p.add_argument("--alpha", type=float, default=1.2)
+    p.add_argument("--rebuild-bm25", action="store_true",
+                   help="Also rebuild the BM25 sidecar from passages")
+    p.set_defaults(func=run)
+
+
+def run(args) -> int:
+    try:
+        index_dir = find_index(args.index_name)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    base = index_base(index_dir)
+    meta = IndexMeta.load(meta_path(base))
+    if meta.is_pruned or not EmbeddingsStore.exists(base):
+        print("No stored embeddings (index is pruned); reindex requires "
+              "them. Rebuild with `build --force` instead.", file=sys.stderr)
+        return 1
+
+    backend = resolve_backend(args.backend_name or meta.backend_name)
+    metric = args.metric or getattr(meta, "metric", "ip")
+    vectors = np.asarray(EmbeddingsStore(base, meta.dimensions).all())
+    ids = read_ids(base)
+    if len(ids) != vectors.shape[0]:
+        print(f"ids.txt has {len(ids)} entries but embeddings hold "
+              f"{vectors.shape[0]} rows — index is inconsistent.",
+              file=sys.stderr)
+        return 1
+
+    print(f"Reindexing '{args.index_name}': {vectors.shape[0]} vectors "
+          f"-> backend={backend}, metric={metric}")
+    t0 = time.time()
+    backend_kwargs = None
+    if backend == "vamana":
+        from leann_tpu.ops.vamana import build_vamana
+
+        adjacency, medoid = build_vamana(
+            vectors, graph_degree=args.graph_degree,
+            complexity=args.complexity, alpha=args.alpha, metric=metric,
+        )
+        GraphFile(adjacency, medoid, metric).save(graph_path(base))
+        backend_kwargs = {
+            "graph_degree": args.graph_degree,
+            "complexity": args.complexity,
+            "alpha": args.alpha,
+        }
+    elif backend == "ivf":
+        from leann_tpu.ops.ivf import kmeans
+
+        m = "ip" if metric == "cosine" else metric
+        v = vectors
+        if metric == "cosine":
+            v = v / (np.linalg.norm(v, axis=1, keepdims=True) + 1e-12)
+        n_clusters = max(16, min(int(2 * len(v) ** 0.5), len(v)))
+        centers, assign = kmeans(v, n_clusters, metric=m)
+        IvfFile(centers, assign, metric).save(ivf_path(base))
+        backend_kwargs = {"n_clusters": n_clusters}
+
+    if args.rebuild_bm25:
+        store = PassageStore(base)
+        pos = {pid: i for i, pid in enumerate(ids)}
+        texts = [""] * len(ids)
+        for p in store.iter_all():
+            i = pos.get(p.id)
+            if i is not None:
+                texts[i] = p.text
+        Bm25Scorer.build(texts).save(bm25_path(base))
+
+    meta.backend_name = backend
+    meta.metric = metric
+    meta.backend_kwargs = backend_kwargs
+    meta.save(meta_path(base))
+    print(f"Reindexed in {time.time() - t0:.1f}s.")
+    return 0

@@ -307,3 +307,36 @@ def test_search_sharded_over_device_mesh(workdir, capsys):
     assert rc == 0
     data = json.loads(capsys.readouterr().out)
     assert "hardware.md" in data[0]["id"]
+
+
+def test_reindex_switches_backend_without_reembedding(workdir, capsys):
+    _build(workdir)  # flat
+    capsys.readouterr()
+    # switch to ivf
+    assert main(["reindex", "testidx", "--backend-name", "ivf"]) == 0
+    out = capsys.readouterr().out
+    assert "backend=ivf" in out
+    rc = main(["search", 'The quick brown fox jumps over the lazy dog. Foxes live in forests.',
+               "-i", "testidx", "--format", "json", "--top-k", "1",
+               "--no-expand"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert "animals.md" in data[0]["id"]
+    # and to vamana
+    assert main(["reindex", "testidx", "--backend-name", "vamana",
+                 "--graph-degree", "4", "--complexity", "8"]) == 0
+    capsys.readouterr()
+    rc = main(["search", 'Tensor processing units accelerate matrix multiplication on the MXU.',
+               "-i", "testidx", "--format", "json", "--top-k", "1",
+               "--no-expand"])
+    assert rc == 0
+    data = json.loads(capsys.readouterr().out)
+    assert "hardware.md" in data[0]["id"]
+
+
+def test_reindex_refuses_pruned(workdir, capsys):
+    _build(workdir)
+    assert main(["prune", "testidx", "-y"]) == 0
+    capsys.readouterr()
+    assert main(["reindex", "testidx", "--backend-name", "ivf"]) == 1
+    assert "pruned" in capsys.readouterr().err
