@@ -236,6 +236,17 @@ def _embedding_options(args, provider) -> dict:
         opts["base_url"] = args.embedding_api_base
     if args.embedding_model_path:
         opts["model_path"] = args.embedding_model_path
-    if args.embedding_prompt_template is not None:
-        opts["prompt_template"] = args.embedding_prompt_template
+    # Persist the resolved templates under the reference's keys
+    # (build.rs:344-352): search reads query_prompt_template, and
+    # update/recompute re-embed with the stored build_prompt_template —
+    # so a custom template never causes an embedding-space mismatch.
+    doc_template = (
+        args.embedding_prompt_template
+        if args.embedding_prompt_template is not None
+        else provider.document_prefix()
+    ) or ""
+    query_prefix = provider.query_prefix() or ""
+    if doc_template or query_prefix:
+        opts["build_prompt_template"] = doc_template
+        opts["query_prompt_template"] = query_prefix
     return opts or None

@@ -216,3 +216,14 @@ def resolve_query_template(
     if "query_prompt_template" in opts:
         return opts["query_prompt_template"]
     return get_model_config(meta.embedding_model).query_prefix or None
+
+
+def resolve_build_template(meta, provider) -> Optional[str]:
+    """Document-side template for re-embedding (update / recompute):
+    the template the index was BUILT with (meta.embedding_options,
+    reference build.rs:344-352) wins over the provider's model default,
+    so custom-template indexes stay in one embedding space."""
+    opts = meta.embedding_options or {}
+    if "build_prompt_template" in opts:
+        return opts["build_prompt_template"] or None
+    return provider.document_prefix() or None

@@ -86,7 +86,9 @@ def run(args) -> int:
         else:
             from leann_tpu.index.recompute import RecomputeSearcher
 
-            doc_template = provider.document_prefix() or None
+            from leann_tpu.cli.common import resolve_build_template
+
+            doc_template = resolve_build_template(meta, provider)
             rs = RecomputeSearcher(base, provider, document_template=doc_template)
             results = rs.search(qvec, top_k=args.top_k, filter=filt)
     else:

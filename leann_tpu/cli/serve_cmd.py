@@ -33,9 +33,11 @@ class _PrunedAdapter:
             self._impl = GraphRecomputeSearcher(base, provider._impl.encoder)
             self._graph = True
         else:
+            from leann_tpu.cli.common import resolve_build_template
+
             self._impl = RecomputeSearcher(
                 base, provider,
-                document_template=provider.document_prefix() or None,
+                document_template=resolve_build_template(meta, provider),
             )
             self._graph = False
 

@@ -15,6 +15,7 @@ from leann_tpu.cli.common import (
     collect_file_paths,
     load_file_content,
     provider_from_meta,
+    resolve_build_template,
 )
 from leann_tpu.config import Config
 from leann_tpu.index.bm25 import Bm25Scorer, bm25_path
@@ -62,7 +63,7 @@ def run(args) -> int:
         return 1
 
     provider = provider_from_meta(meta, api_key=args.embedding_api_key)
-    doc_template = provider.document_prefix() or None
+    doc_template = resolve_build_template(meta, provider)
 
     files = collect_file_paths(
         args.docs,
@@ -128,9 +129,13 @@ def run(args) -> int:
         all_vecs = np.asarray(EmbeddingsStore(base, meta.dimensions).all())
         n_total = all_vecs.shape[0]
         r = graph.degree
-        rng = np.random.default_rng(0)
-        new_rows = rng.integers(0, old_n, size=(n_total - old_n, r)).astype(np.int32)
-        adjacency = np.concatenate([graph.adjacency, new_rows])
+        # The stored sentinel is old_n ("one past last"); after growth it
+        # would alias the first new node and every stale pad would become
+        # a real edge. Remap stale sentinels to the new sentinel, and seed
+        # the new rows with the sentinel too (insert_points replaces them).
+        old_adj = np.where(graph.adjacency == old_n, n_total, graph.adjacency)
+        new_rows = np.full((n_total - old_n, r), n_total, dtype=np.int32)
+        adjacency = np.concatenate([old_adj, new_rows])
         # old rows now have capacity to point at new ids; re-run insertion
         kwargs = meta.backend_kwargs or {}
         adjacency = insert_points(
@@ -144,7 +149,9 @@ def run(args) -> int:
         GraphFile(adjacency, graph.medoid, graph.metric).save(graph_path(base))
 
     # extend the IVF index incrementally: new vectors join their nearest
-    # existing centroid (centers stay fixed; re-clustering is a rebuild)
+    # existing centroid; once enough of the corpus post-dates the trained
+    # centroids (>25% drift), retrain them so bucket balance doesn't
+    # silently degrade over repeated updates
     from leann_tpu.store.ivffile import IvfFile, ivf_path
 
     if meta.backend_name == "ivf" and IvfFile.exists(base):
@@ -152,16 +159,33 @@ def run(args) -> int:
 
         ivf = IvfFile.load(ivf_path(base))
         metric = "ip" if meta.metric == "cosine" else meta.metric
-        nv = new_vecs
-        if meta.metric == "cosine":
-            nv = nv / (np.linalg.norm(nv, axis=1, keepdims=True) + 1e-12)
-        _, nearest = exact_topk(nv, ivf.centers, 1, metric=metric)
-        new_assign = nearest[:, 0].astype(np.int32)
-        IvfFile(
-            ivf.centers,
-            np.concatenate([ivf.assign, new_assign]),
-            ivf.metric,
-        ).save(ivf_path(base))
+        n_total_ivf = len(ivf.assign) + len(new_vecs)
+        drift = (n_total_ivf - ivf.trained_n) / max(1, n_total_ivf)
+        if drift > 0.25:
+            from leann_tpu.ops.ivf import kmeans
+
+            print(f"IVF centroid drift {drift:.0%} > 25%: retraining "
+                  f"{len(ivf.centers)} centroids...")
+            av = np.asarray(EmbeddingsStore(base, meta.dimensions).all())
+            if meta.metric == "cosine":
+                av = av / (np.linalg.norm(av, axis=1, keepdims=True) + 1e-12)
+            centers, assign = kmeans(
+                av, len(ivf.centers), metric=metric, seed=0
+            )
+            IvfFile(centers, assign, ivf.metric,
+                    trained_n=n_total_ivf).save(ivf_path(base))
+        else:
+            nv = new_vecs
+            if meta.metric == "cosine":
+                nv = nv / (np.linalg.norm(nv, axis=1, keepdims=True) + 1e-12)
+            _, nearest = exact_topk(nv, ivf.centers, 1, metric=metric)
+            new_assign = nearest[:, 0].astype(np.int32)
+            IvfFile(
+                ivf.centers,
+                np.concatenate([ivf.assign, new_assign]),
+                ivf.metric,
+                trained_n=ivf.trained_n,
+            ).save(ivf_path(base))
 
     # refresh the BM25 sidecar
     if os.path.exists(bm25_path(base)):

@@ -66,9 +66,13 @@ class EmbeddingProvider:
         elif mode == "local":
             from leann_tpu.embed.local import LocalEmbedding
 
-            self._impl = LocalEmbedding(
-                model_path or model, batch_size=batch_size or 128
+            # model_path wins; otherwise a real model NAME resolves via
+            # the HF hub (candle.rs:44-57 parity). The placeholder names
+            # keep the hermetic tiny encoder for tests/bring-up.
+            path = model_path or (
+                model if model not in ("fake", "local-tiny") else None
             )
+            self._impl = LocalEmbedding(path, batch_size=batch_size or 128)
         else:
             raise ValueError(
                 f"unknown embedding mode {mode!r} "

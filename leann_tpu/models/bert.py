@@ -104,19 +104,53 @@ def init_params(config: BertConfig, seed: int = 0) -> Dict[str, Any]:
     return params
 
 
-def load_hf_params(model_dir: str, config: BertConfig) -> Dict[str, Any]:
-    """Load a bert-base-style HuggingFace checkpoint (model.safetensors)."""
+def fetch_hf_checkpoint(model_name: str) -> str:
+    """Resolve a HuggingFace model name to a local checkpoint directory,
+    downloading it if needed (reference parity: candle.rs:44-57 pulls
+    safetensors or pytorch_model.bin from the hub). Honors the standard
+    HF cache; raises with a clear message when offline."""
     try:
-        from safetensors.numpy import load_file
+        from huggingface_hub import snapshot_download
+    except ImportError as e:  # pragma: no cover - hub is baked in
+        raise RuntimeError(
+            f"{model_name!r} is not a local directory and huggingface_hub "
+            "is unavailable; pass a local checkpoint path instead."
+        ) from e
+    try:
+        return snapshot_download(
+            model_name,
+            allow_patterns=[
+                "config.json", "model.safetensors", "pytorch_model.bin",
+                "tokenizer.json", "tokenizer_config.json", "vocab.txt",
+                "special_tokens_map.json",
+            ],
+        )
+    except Exception as e:
+        raise RuntimeError(
+            f"failed to fetch {model_name!r} from the HuggingFace hub: {e}. "
+            "Pass a local checkpoint directory, or pre-populate the HF "
+            "cache when running offline."
+        ) from e
 
-        tensors = load_file(os.path.join(model_dir, "model.safetensors"))
-    except ImportError:
+
+def load_hf_params(model_dir: str, config: BertConfig) -> Dict[str, Any]:
+    """Load a bert-base-style HuggingFace checkpoint (model.safetensors
+    preferred, pytorch_model.bin fallback — same two formats the
+    reference accepts, candle.rs:44-57)."""
+    st_path = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    tensors = None
+    if os.path.exists(st_path):
+        try:
+            from safetensors.numpy import load_file
+
+            tensors = load_file(st_path)
+        except ImportError:
+            tensors = None
+    if tensors is None:
         import torch
 
-        sd = torch.load(
-            os.path.join(model_dir, "pytorch_model.bin"),
-            map_location="cpu", weights_only=True,
-        )
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
         tensors = {k: v.numpy() for k, v in sd.items()}
 
     def t(name):
@@ -314,23 +348,38 @@ class BertEncoder:
         max_length: int = 256,
         seed: int = 0,
     ):
-        if model_dir and os.path.isdir(model_dir):
+        if model_dir:
+            if not os.path.isdir(model_dir):
+                # HF-hub name, not a local path: fetch the checkpoint like
+                # the reference does (candle.rs:44-57 pulls safetensors /
+                # pytorch_model.bin from the hub).
+                model_dir = fetch_hf_checkpoint(model_dir)
             hf_cfg = os.path.join(model_dir, "config.json")
             self.config = (
                 BertConfig.from_hf_config(hf_cfg)
                 if os.path.exists(hf_cfg)
                 else (config or BertConfig())
             )
+            # A real checkpoint dir that fails to load must hard-fail:
+            # silently falling back to random weights would make a pruned
+            # index quietly return garbage embeddings.
             try:
                 self.params = load_hf_params(model_dir, self.config)
-            except (FileNotFoundError, KeyError):
-                self.params = init_params(self.config, seed)
+            except Exception as e:
+                raise RuntimeError(
+                    f"failed to load model weights from {model_dir!r}: {e}. "
+                    "Expected model.safetensors or pytorch_model.bin with "
+                    "BERT-style parameter names."
+                ) from e
             try:
                 self.tokenizer = HfTokenizer(model_dir, max_length)
-            except Exception:
-                self.tokenizer = HashTokenizer(
-                    self.config.vocab_size, max_length
-                )
+            except Exception as e:
+                # never pair real weights with the hash tokenizer
+                raise RuntimeError(
+                    f"failed to load tokenizer from {model_dir!r}: {e}. "
+                    "A tokenizer.json / vocab.txt matching the checkpoint "
+                    "is required when real weights are used."
+                ) from e
         else:
             self.config = config or BertConfig.tiny()
             self.params = init_params(self.config, seed)

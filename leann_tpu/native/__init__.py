@@ -29,44 +29,54 @@ def _load_lib():
         return _LIB
     _LIB_CHECKED = True
     import ctypes
-    import os
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    repo = os.path.dirname(os.path.dirname(here))
-    candidates = [
-        os.path.join(here, "libleann_native.so"),
-        os.path.join(repo, "native", "libleann_native.so"),
-    ]
-    if not any(os.path.exists(p) for p in candidates):
-        _try_compile(repo)
-    for path in candidates:
-        if os.path.exists(path):
-            try:
-                _LIB = ctypes.CDLL(path)
-                break
-            except OSError:
-                continue
+    path = _compiled_lib_path()
+    if path is not None:
+        try:
+            _LIB = ctypes.CDLL(path)
+        except OSError:
+            _LIB = None
     return _LIB
 
 
-def _try_compile(repo: str) -> None:
-    """One-shot lazy build of the shared lib (g++ is in the image)."""
+def _compiled_lib_path():
+    """Compile the shared lib into a cache dir keyed on the source hash,
+    so a stale or foreign binary can never shadow the checked-in C++
+    (no prebuilt .so ships in the repo)."""
+    import hashlib
     import os
     import shutil
     import subprocess
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(os.path.dirname(here))
     src = os.path.join(repo, "native", "leann_native.cpp")
     if not os.path.exists(src) or shutil.which("g++") is None:
-        return
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "libleann_native.so")
+        return None
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "LEANN_NATIVE_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "leann_tpu",
+        ),
+    )
+    out = os.path.join(cache, f"libleann_native-{digest}.so")
+    if os.path.exists(out):
+        return out
     try:
+        os.makedirs(cache, exist_ok=True)
+        tmp = out + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", out, src],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, src],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, out)  # atomic under concurrent builders
+        return out
     except Exception:
-        pass
+        return None
 
 
 def bm25_build_native(

@@ -135,6 +135,9 @@ def build_vamana(
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n, d = vectors.shape
     r = graph_degree
+    if n <= 1:
+        # single-vector (or empty) corpus: all-sentinel adjacency
+        return np.full((n, r), n, dtype=np.int32), 0
     L = max(complexity, r + 1)
     rng = np.random.default_rng(seed)
 

@@ -71,9 +71,11 @@ class McpServer:
             if meta.is_pruned:
                 from leann_tpu.index.recompute import RecomputeSearcher
 
+                from leann_tpu.cli.common import resolve_build_template
+
                 searcher = RecomputeSearcher(
                     base, provider,
-                    document_template=provider.document_prefix() or None,
+                    document_template=resolve_build_template(meta, provider),
                 )
             else:
                 searcher = IndexSearcher.load(base)

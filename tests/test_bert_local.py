@@ -134,3 +134,33 @@ def test_graph_recompute_searcher_end_to_end(tmp_index_base):
     q = provider.embed([texts[42]])[0]
     results = searcher.search(q, top_k=3, complexity=16)
     assert results[0].id == "p42"
+
+
+def test_corrupt_checkpoint_dir_raises(tmp_path):
+    """A model dir that exists but cannot be loaded must hard-fail —
+    never silently fall back to random weights (ADVICE r1 / VERDICT:
+    a pruned index would quietly return garbage embeddings)."""
+    import json
+
+    import pytest
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 64,
+    }))
+    (d / "model.safetensors").write_bytes(b"not a safetensors file")
+    with pytest.raises(RuntimeError, match="failed to load model weights"):
+        BertEncoder(model_dir=str(d))
+
+
+def test_nonlocal_model_name_errors_offline(tmp_path, monkeypatch):
+    """A hub model name (not a local dir) must resolve via the hub or
+    raise a clear error — never silently produce a random tiny model."""
+    import pytest
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("HF_HOME", str(tmp_path / "hfhome"))
+    with pytest.raises(RuntimeError, match="hub"):
+        BertEncoder(model_dir="no-such-org/no-such-model-xyz")

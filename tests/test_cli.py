@@ -340,3 +340,55 @@ def test_reindex_refuses_pruned(workdir, capsys):
     capsys.readouterr()
     assert main(["reindex", "testidx", "--backend-name", "ivf"]) == 1
     assert "pruned" in capsys.readouterr().err
+
+
+def test_update_vamana_remaps_stale_sentinels(workdir, capsys):
+    """Growing a vamana index must not turn the old sentinel pads
+    (value == old_n) into real edges to the first newly added node
+    (ADVICE r1: 66 pads became 40 edges on a 30+5 update)."""
+    import numpy as np
+
+    from leann_tpu.store.graphfile import GraphFile, graph_path
+    from leann_tpu.store.locate import find_index, index_base
+    from leann_tpu.store.passages import read_ids
+
+    _build(workdir, name="vamidx",
+           extra=["--backend-name", "vamana", "--graph-degree", "16"])
+    base = index_base(find_index("vamidx"))
+    old_n = len(read_ids(base))
+    (workdir / "docs" / "extra.md").write_text(
+        "Completely new content about distributed beam search engines."
+    )
+    capsys.readouterr()
+    assert main(["update", "vamidx", "--docs", "docs"]) == 0
+    adj = GraphFile.load(graph_path(base)).adjacency
+    n_total = adj.shape[0]
+    assert n_total > old_n
+    # edges into node old_n from the OLD rows can only be genuine
+    # (reverse-edge) links, never a whole row of recycled pads
+    hits = int((np.asarray(adj[:old_n]) == old_n).sum())
+    assert hits <= adj.shape[1], (
+        f"{hits} edges to node {old_n}: stale sentinel pads leaked"
+    )
+
+
+def test_build_persists_reference_template_keys(workdir, capsys):
+    """A custom --embedding-prompt-template is stored under the
+    reference's embedding_options keys (build.rs:344-352), and
+    re-embedding paths honor it."""
+    from leann_tpu.cli.common import (
+        provider_from_meta,
+        resolve_build_template,
+    )
+    from leann_tpu.store.locate import find_index, index_base
+    from leann_tpu.store.meta import IndexMeta, meta_path
+
+    _build(workdir, name="tplidx",
+           extra=["--embedding-prompt-template", "DOC: "])
+    meta = IndexMeta.load(meta_path(index_base(find_index("tplidx"))))
+    opts = meta.embedding_options or {}
+    assert opts.get("build_prompt_template") == "DOC: "
+    assert "query_prompt_template" in opts
+    assert "prompt_template" not in opts
+    provider = provider_from_meta(meta)
+    assert resolve_build_template(meta, provider) == "DOC: "
