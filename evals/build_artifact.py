@@ -1,0 +1,71 @@
+"""One-time 1M vamana graph build -> artifact for search-perf iteration.
+
+Builds the bench corpus (same generator/seed as bench.py) into a vamana
+graph and saves the adjacency + medoid so search experiments don't pay
+the ~30 min build each time.
+
+  PYTHONPATH=/root/repo:/root/.axon_site python evals/build_artifact.py
+Env: ART_N, ART_R, ART_L, ART_CAP, ART_OUT
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("ART_N", 1_000_000))
+D = int(os.environ.get("ART_D", 128))
+R = int(os.environ.get("ART_R", 48))
+L = int(os.environ.get("ART_L", 80))
+CAP = int(os.environ.get("ART_CAP", 16))
+WAVE = int(os.environ.get("ART_WAVE", 8192))
+OUT = os.environ.get(
+    "ART_OUT",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "artifacts", f"vamana_n{N}_r{R}_l{L}.npz"),
+)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def make_corpus(rng, n, d, clusters=1024):
+    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, clusters, n)
+    return (centers[assign]
+            + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
+
+
+def main():
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    import jax
+
+    from leann_tpu.ops.vamana import build_vamana
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    pool = make_corpus(rng, N + 1024 + 2048, D)
+    corpus = pool[:N]
+    t0 = time.time()
+    adjacency, medoid = build_vamana(
+        corpus, graph_degree=R, complexity=L, alpha=1.2, metric="l2",
+        wave_size=WAVE, incoming_cap=CAP, verbose=True,
+    )
+    build_s = time.time() - t0
+    log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    np.savez(OUT, adjacency=adjacency, medoid=np.int32(medoid),
+             build_s=np.float32(build_s), n=N, d=D, r=R, L=L, cap=CAP)
+    log(f"saved {OUT}")
+
+
+if __name__ == "__main__":
+    main()

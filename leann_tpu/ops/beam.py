@@ -50,21 +50,26 @@ def _hash_slot(ids: jnp.ndarray, hash_bits: int) -> jnp.ndarray:
 
 def _beam_search_core(
     queries: jnp.ndarray,      # [B, D] f32
-    adjacency: jnp.ndarray,    # [N+1, R] int32, pad = N
+    r: int,                    # graph degree (candidates per expansion)
     entry: jnp.ndarray,        # [] int32 entry node (medoid)
     exclude: jnp.ndarray,      # [B] int32 id to never admit (-1 = none)
-    score_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    expand_fn: Callable[[jnp.ndarray, jnp.ndarray],
+                        Tuple[jnp.ndarray, jnp.ndarray]],
+    entry_score_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     n_sentinel: int,
     beam_width: int,
     max_iters: int,
     hash_bits: int = 12,
     expansions: int = 1,
     track_visited: int = 0,
+    entry_scores: Optional[jnp.ndarray] = None,  # [B, S] precomputed
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """score_fn(queries [B, D], ids [B, K]) -> [B, K] scores (higher =
-    better; must return garbage-but-finite for sentinel ids, which the
-    caller masks). Returns (beam_ids [B, L] desc-sorted, beam_scores,
-    vlog_ids [B, T], vlog_scores [B, T]).
+    """expand_fn(queries [B, D], u [B, E]) -> (nbrs [B, E*R] int32,
+    scores [B, E*R] f32): the fixed-degree neighbor ids of the expanded
+    nodes and their scores (higher = better; garbage-but-finite for
+    sentinel ids — masked here). entry_score_fn(queries, ids [B, S]) ->
+    [B, S] scores for the entry/seed rows. Returns (beam_ids [B, L]
+    desc-sorted, beam_scores, vlog_ids [B, T], vlog_scores [B, T]).
 
     `expansions` (E) = beam entries expanded per hop. E>1 trades a wider
     per-hop candidate block (E*R gathers + scores, MXU-friendly) for ~E x
@@ -78,7 +83,6 @@ def _beam_search_core(
     navigability (measured: recall@10 collapsed 0.99 -> 0.28 going
     50k -> 1M when pruning from the final beam alone)."""
     b, _ = queries.shape
-    r = adjacency.shape[1]
     L = beam_width
     E = max(1, min(expansions, L))
     H = 1 << hash_bits
@@ -97,7 +101,8 @@ def _beam_search_core(
     else:
         s_n = entries.shape[1]
         entry_rows = entries
-    entry_scores = score_fn(queries, entry_rows)                 # [B, S]
+    if entry_scores is None:
+        entry_scores = entry_score_fn(queries, entry_rows)       # [B, S]
     beam_ids = jnp.full((b, L), n_sentinel, dtype=jnp.int32)
     beam_ids = beam_ids.at[:, :s_n].set(entry_rows)
     beam_scores = jnp.full((b, L), NEG_INF, dtype=jnp.float32)
@@ -161,7 +166,8 @@ def _beam_search_core(
         expanded = expanded | jnp.any(hit, axis=1)
 
         c = E * r
-        nbrs = adjacency[u].reshape(b, c)                           # [B, E*R]
+        # --- expand: neighbor ids + raw scores (the hot block) ---
+        nbrs, cand_scores = expand_fn(queries, u)                   # [B, E*R]
         cand_active = jnp.repeat(active, r, axis=1)                 # [B, E*R]
 
         # --- validity masks ---
@@ -183,8 +189,6 @@ def _beam_search_core(
             mode="drop",
         )
 
-        # --- score candidates (the hot block) ---
-        cand_scores = score_fn(queries, nbrs)
         cand_scores = jnp.where(valid, cand_scores, NEG_INF)
         cand_ids = jnp.where(valid, nbrs, n_sentinel)
 
@@ -257,19 +261,165 @@ def beam_search_batch(
             return 2.0 * dots - sq_norms[ids]
         return dots
 
+    def expand_fn(q, u):
+        nbrs = adjacency[u].reshape(q.shape[0], -1)
+        return nbrs, score_fn(q, nbrs)
+
+    entry_sc = None
     if seed_ids is not None:
+        # score the shared seed pool with ONE matmul against the
+        # device-resident pool matrix — never a [B, M, D] row gather
         m = seed_ids.shape[0]
-        seed_rows = jnp.broadcast_to(seed_ids[None, :], (queries.shape[0], m))
-        seed_scores = score_fn(queries, seed_rows)           # [B, M]
+        seed_vecs = vectors[seed_ids]                        # [M, D]
+        seed_dots = jnp.einsum(
+            "md,bd->bm", seed_vecs, queries,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if metric == "l2":
+            seed_scores = 2.0 * seed_dots - sq_norms[seed_ids][None, :]
+        else:
+            seed_scores = seed_dots
         s_eff = min(n_entries, m)
-        _, best = jax.lax.top_k(seed_scores, s_eff)
-        entry = jnp.take_along_axis(seed_rows, best, axis=1)  # [B, S]
+        entry_sc, best = jax.lax.top_k(seed_scores, s_eff)
+        entry = seed_ids[best]                               # [B, S]
     out = _beam_search_core(
-        queries, adjacency, entry, exclude, score_fn,
+        queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
-        track_visited,
+        track_visited, entry_scores=entry_sc,
     )
     return out if track_visited > 0 else out[:2]
+
+
+# ------------------------------------------------------------ inline blocks
+#
+# The decisive TPU layout optimization (profiled in evals/hop_profile.py):
+# XLA's row gather `vectors[nbrs]` moves ~131k separate D-sized rows per
+# hop and costs ~1.3 ms; gathering each expanded node's *pre-packed*
+# neighbor block `blocks[u]` moves the same bytes in E*B contiguous
+# R*D-sized granules and costs ~0.4 ms. Storage: every node stores its
+# R neighbors' vectors inline (int8 row-quantized by default — 1M x 128
+# at R=48 is 6.1 GB vs 12.3 GB bf16), plus the dequant scale and |v|^2
+# per inlined row. The traversal scores candidates from the inline
+# blocks; the final beam is rescored against the full-precision corpus,
+# so quantization guides the walk but never ranks the results.
+
+
+def build_inline_blocks(
+    vectors: jnp.ndarray,    # [N+1, D] f32 device (sentinel row = zeros)
+    adjacency: jnp.ndarray,  # [N+1, R] int32 device
+    dtype: str = "int8",     # "int8" | "bf16"
+    chunk: int = 131072,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Returns (blocks [N+1, R, D] int8|bf16, scale_in [N+1, R] f32 or
+    None, nsq_in [N+1, R] f32). Built chunked on device so peak temp
+    memory stays ~chunk*R*D."""
+    n1, d = vectors.shape
+    r = adjacency.shape[1]
+    nsq = jnp.sum(vectors * vectors, axis=1)                  # [N+1]
+    if dtype == "int8":
+        scale = jnp.maximum(
+            jnp.max(jnp.abs(vectors), axis=1), 1e-12
+        ) / 127.0                                             # [N+1]
+        src = jnp.clip(
+            jnp.round(vectors / scale[:, None]), -127, 127
+        ).astype(jnp.int8)
+        scale_in = scale[adjacency]                           # [N+1, R] f32
+        out_dtype = jnp.int8
+    else:
+        src = vectors.astype(jnp.bfloat16)
+        scale_in = None
+        out_dtype = jnp.bfloat16
+    nsq_in = nsq[adjacency]                                   # [N+1, R] f32
+
+    step = min(chunk, n1)
+    blocks = jnp.zeros((n1, r, d), out_dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def upd(buf, s, a, i):
+        rows = jax.lax.dynamic_slice_in_dim(a, i, step)
+        return jax.lax.dynamic_update_slice(buf, s[rows], (i, 0, 0))
+
+    for i in range(0, n1, step):
+        blocks = upd(blocks, src, adjacency, jnp.int32(min(i, n1 - step)))
+    return blocks, scale_in, nsq_in
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_iters", "metric", "hash_bits",
+                     "expansions", "n_entries"),
+)
+def beam_search_inline_batch(
+    queries: jnp.ndarray,     # [B, D] f32
+    corpus: jnp.ndarray,      # [N+1, D] f32|bf16 (rescore source)
+    adjacency: jnp.ndarray,   # [N+1, R] int32, pad = N
+    blocks: jnp.ndarray,      # [N+1, R, D] int8|bf16
+    scale_in,                 # [N+1, R] f32 | None
+    nsq_in: jnp.ndarray,      # [N+1, R] f32
+    corpus_nsq: jnp.ndarray,  # [N+1] f32
+    seed_ids: jnp.ndarray,    # [M] int32
+    seed_vecs: jnp.ndarray,   # [M, D] bf16
+    exclude: jnp.ndarray,     # [B] int32
+    beam_width: int,
+    max_iters: int,
+    metric: str,
+    hash_bits: int = 12,
+    expansions: int = 2,
+    n_entries: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Serving-grade graph search: inline-block traversal + exact
+    rescore. Returns (beam_ids [B, L], rescored beam_scores [B, L]),
+    descending."""
+    b = queries.shape[0]
+    n_sentinel = corpus.shape[0] - 1
+    q_bf = queries.astype(jnp.bfloat16)
+
+    # --- query-adaptive entries: ONE matmul over the seed pool ---
+    seed_dots = jnp.einsum(
+        "md,bd->bm", seed_vecs, q_bf, preferred_element_type=jnp.float32
+    )
+    if metric == "l2":
+        seed_scores = 2.0 * seed_dots - corpus_nsq[seed_ids][None, :]
+    else:
+        seed_scores = seed_dots
+    s_eff = min(n_entries, seed_ids.shape[0])
+    entry_sc, best = jax.lax.top_k(seed_scores, s_eff)
+    entry = seed_ids[best]                                    # [B, S]
+
+    def expand_fn(q, u):
+        nbrs = adjacency[u].reshape(b, -1)                    # [B, E*R]
+        blk = blocks[u]                                       # [B, E, R, D]
+        dots = jnp.einsum(
+            "berd,bd->ber", blk.astype(jnp.bfloat16), q_bf,
+            preferred_element_type=jnp.float32,
+        ).reshape(b, -1)
+        if scale_in is not None:
+            dots = dots * scale_in[u].reshape(b, -1)
+        if metric == "l2":
+            return nbrs, 2.0 * dots - nsq_in[u].reshape(b, -1)
+        return nbrs, dots
+
+    beam_ids, _, _, _ = _beam_search_core(
+        queries, adjacency.shape[1], entry, exclude, expand_fn,
+        None, n_sentinel, beam_width, max_iters, hash_bits,
+        expansions, 0, entry_scores=entry_sc,
+    )
+
+    # --- exact rescore of the final beam (fixes int8/bf16 ordering) ---
+    rows = corpus[beam_ids].astype(jnp.float32)               # [B, L, D]
+    dots = jnp.einsum(
+        "bld,bd->bl", rows, queries,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    if metric == "l2":
+        scores = 2.0 * dots - corpus_nsq[beam_ids]
+    else:
+        scores = dots
+    scores = jnp.where(beam_ids == n_sentinel, NEG_INF, scores)
+    top_scores, pos = jax.lax.top_k(scores, beam_ids.shape[1])
+    top_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
+    return top_ids, top_scores
 
 
 # ---------------------------------------------------------------- recompute
@@ -318,8 +468,12 @@ def beam_search_recompute_batch(
             return 2.0 * dots - sq
         return dots
 
+    def expand_fn(q, u):
+        nbrs = adjacency[u].reshape(q.shape[0], -1)
+        return nbrs, score_fn(q, nbrs)
+
     return _beam_search_core(
-        queries, adjacency, entry, exclude, score_fn,
+        queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
     )[:2]
 
@@ -336,7 +490,19 @@ def _bucket(b: int) -> int:
 
 
 class BeamSearchEngine:
-    """Host-facing wrapper: owns device-resident vectors + adjacency."""
+    """Host-facing wrapper: owns the device-resident search state.
+
+    block_mode picks the traversal layout:
+      "auto"  - int8 inline blocks when they fit the HBM budget, bf16
+                inline on small corpora, row-gather otherwise
+      "int8" / "bf16" - force inline blocks at that dtype
+      "none"  - row-gather traversal (the builder's layout; no inline
+                memory cost — required when adjacency still changes)
+    """
+
+    # HBM budget for the inline structures (v5e: ~9.5 GB usable behind
+    # the axon runtime; leave room for corpus + state + scratch)
+    INLINE_BUDGET_BYTES = int(6.8e9)
 
     def __init__(
         self,
@@ -346,9 +512,10 @@ class BeamSearchEngine:
         metric: str = "ip",
         max_iters: Optional[int] = None,
         hash_bits: int = 12,
-        expansions: int = 1,
+        expansions: int = 2,
+        block_mode: str = "auto",
     ):
-        self.expansions = expansions
+        self.expansions = max(1, expansions)
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.n, self.d = vectors.shape
         self.metric_in = metric
@@ -366,17 +533,16 @@ class BeamSearchEngine:
             np.concatenate([vectors, np.zeros((1, self.d), np.float32)])
         )
         adj = np.ascontiguousarray(adjacency, dtype=np.int32)
+        r = adj.shape[1]
         if adj.shape[0] == self.n:
-            adj = np.concatenate(
-                [adj, np.full((1, adj.shape[1]), self.n, np.int32)]
-            )
+            adj = np.concatenate([adj, np.full((1, r), self.n, np.int32)])
         self.adjacency = jnp.asarray(adj)
         vf = np.asarray(self.vectors, dtype=np.float32)
         self.sq_norms = jnp.asarray((vf * vf).sum(axis=1))
         self.medoid = int(medoid)
         # query-adaptive entry selection: a fixed random seed pool is
-        # scored per query (one contraction) and each query starts from
-        # its best seeds — on clustered corpora this lands the descent
+        # scored per query (one matmul) and each query starts from its
+        # best seeds — on clustered corpora this lands the descent
         # inside the right region immediately
         rng = np.random.default_rng(0)
         pool = int(min(max(1024, 4 * int(self.n ** 0.5)), max(1, self.n)))
@@ -384,7 +550,24 @@ class BeamSearchEngine:
         self.seed_ids = jnp.asarray(
             np.unique(np.concatenate([[medoid], seeds])).astype(np.int32)
         )
+        self.seed_vecs = self.vectors[self.seed_ids].astype(jnp.bfloat16)
         self.entries = jnp.int32(medoid)
+
+        if block_mode == "auto":
+            inline_b = (self.n + 1) * r * (self.d + 8)
+            if (self.n + 1) * r * (2 * self.d + 4) <= int(2e9):
+                block_mode = "bf16"
+            elif inline_b <= self.INLINE_BUDGET_BYTES:
+                block_mode = "int8"
+            else:
+                block_mode = "none"
+        self.block_mode = block_mode
+        if block_mode in ("int8", "bf16"):
+            self.blocks, self.scale_in, self.nsq_in = build_inline_blocks(
+                self.vectors, self.adjacency, dtype=block_mode
+            )
+        else:
+            self.blocks = self.scale_in = self.nsq_in = None
 
     def search(
         self,
@@ -401,13 +584,7 @@ class BeamSearchEngine:
         idx = np.where(idx == self.n, -1, idx)
         return idx, sc
 
-    def search_beam(
-        self,
-        queries: np.ndarray,
-        beam_width: int = 64,
-        exclude: Optional[np.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Full beam (ids, scores) — used by the Vamana builder."""
+    def _prep(self, queries, exclude):
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -420,24 +597,55 @@ class BeamSearchEngine:
         exc = np.full((bb,), -1, dtype=np.int32)
         if exclude is not None:
             exc[:b] = np.asarray(exclude, dtype=np.int32)
+        return q, exc, b
+
+    def search_beam(
+        self,
+        queries: np.ndarray,
+        beam_width: int = 64,
+        exclude: Optional[np.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Full beam (ids, scores), best-first sorted."""
+        q, exc, b = self._prep(queries, exclude)
         max_iters = self.max_iters or (
             (4 * beam_width) // self.expansions + 32
         )
-        ids, scores = beam_search_batch(
-            jnp.asarray(q),
-            self.vectors,
-            self.adjacency,
-            self.sq_norms,
-            self.entries,
-            jnp.asarray(exc),
-            beam_width=beam_width,
-            max_iters=max_iters,
-            metric=self.metric,
-            hash_bits=self.hash_bits,
-            expansions=self.expansions,
-            seed_ids=self.seed_ids,
-            n_entries=min(16, beam_width // 2),
-        )
+        n_entries = min(16, max(1, beam_width // 2))
+        if self.blocks is not None:
+            ids, scores = beam_search_inline_batch(
+                jnp.asarray(q),
+                self.vectors,
+                self.adjacency,
+                self.blocks,
+                self.scale_in,
+                self.nsq_in,
+                self.sq_norms,
+                self.seed_ids,
+                self.seed_vecs,
+                jnp.asarray(exc),
+                beam_width=beam_width,
+                max_iters=max_iters,
+                metric=self.metric,
+                hash_bits=self.hash_bits,
+                expansions=self.expansions,
+                n_entries=n_entries,
+            )
+        else:
+            ids, scores = beam_search_batch(
+                jnp.asarray(q),
+                self.vectors,
+                self.adjacency,
+                self.sq_norms,
+                self.entries,
+                jnp.asarray(exc),
+                beam_width=beam_width,
+                max_iters=max_iters,
+                metric=self.metric,
+                hash_bits=self.hash_bits,
+                expansions=self.expansions,
+                seed_ids=self.seed_ids,
+                n_entries=n_entries,
+            )
         return ids[:b], scores[:b]
 
 

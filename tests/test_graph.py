@@ -209,3 +209,52 @@ def test_seed_pool_scales_with_n():
     # entries respect the beam: n_entries = min(16, beam // 2)
     idx, _ = engine.search(x[:8], k=3, beam_width=8)
     assert idx.shape == (8, 3)
+
+
+@pytest.mark.parametrize("mode", ["int8", "bf16", "none"])
+def test_inline_block_modes_agree(mode):
+    """The inline-block traversal layouts (int8/bf16) must return the
+    same top results as the row-gather layout: quantization only guides
+    the walk — the final beam is rescored in f32."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 24)).astype(np.float32) * 3.0
+    x = (centers[rng.integers(0, 20, 3000)]
+         + rng.standard_normal((3000, 24)).astype(np.float32))
+    adjacency, medoid = build_vamana(
+        x, graph_degree=16, complexity=32, metric="l2", wave_size=512
+    )
+    queries = x[rng.integers(0, 3000, 48)] + 0.01 * rng.standard_normal(
+        (48, 24)
+    ).astype(np.float32)
+    _, oracle = exact_topk(queries, x, 10, metric="l2")
+
+    engine = BeamSearchEngine(
+        x, adjacency, medoid, metric="l2", block_mode=mode
+    )
+    assert engine.block_mode == mode
+    idx, scores = engine.search(queries, k=10, beam_width=48)
+    rec = recall_at_k(idx, oracle, 10)
+    assert rec >= 0.97, f"{mode}: recall@10 = {rec}"
+    assert (np.diff(scores, axis=1) <= 1e-5).all()
+
+
+def test_inline_rescore_is_exact():
+    """Inline traversal scores come from quantized blocks, but returned
+    scores must equal the exact f32 scores of the returned ids."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    adjacency, medoid = build_vamana(
+        x, graph_degree=12, complexity=24, metric="l2", wave_size=256
+    )
+    engine = BeamSearchEngine(
+        x, adjacency, medoid, metric="l2", block_mode="int8"
+    )
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    idx, scores = engine.search(q, k=5, beam_width=24)
+    for b in range(8):
+        for j in range(5):
+            if idx[b, j] < 0:
+                continue
+            v = x[idx[b, j]]
+            expect = 2.0 * float(q[b] @ v) - float(v @ v)
+            np.testing.assert_allclose(scores[b, j], expect, rtol=1e-4)
