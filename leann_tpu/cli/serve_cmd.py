@@ -65,6 +65,10 @@ def add_parser(sub):
     p.add_argument("--embedding-api-key", default=os.environ.get("OPENAI_API_KEY"))
     p.add_argument("--sharded", action="store_true",
                    help="Shard the corpus across all devices")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="Micro-batch size cap for coalesced requests")
+    p.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="How long to hold a request waiting for batchmates")
     p.set_defaults(func=run)
 
 
@@ -83,7 +87,10 @@ def run(args) -> int:
         searcher = _PrunedAdapter(base, provider, meta)
     else:
         searcher = IndexSearcher.load(base, sharded=args.sharded)
-    state = ServerState(searcher, provider, template, index_name)
+    state = ServerState(
+        searcher, provider, template, index_name,
+        max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
+    )
     server = serve(state, host=args.host, port=args.port, cors=args.cors)
     print(f"Serving index '{index_name}' on http://{args.host}:{args.port}")
     try:

@@ -79,15 +79,20 @@ def _split_commas_outside_brackets(s: str) -> List[str]:
 
 
 class MetadataFilter:
-    def __init__(self, node: FilterNode):
+    def __init__(self, node: FilterNode, source: Optional[str] = None):
         self.node = node
+        # original DSL text when parsed; lets callers (the server's
+        # micro-batcher) group requests by identical filters cheaply
+        self.source = source
 
     # ---------------- parsing ----------------
 
     @staticmethod
     def parse(filter_str: str) -> Optional["MetadataFilter"]:
         node = MetadataFilter._parse(filter_str.strip())
-        return MetadataFilter(node) if node is not None else None
+        if node is None:
+            return None
+        return MetadataFilter(node, source=filter_str.strip())
 
     @staticmethod
     def _parse(s: str) -> Optional[FilterNode]:

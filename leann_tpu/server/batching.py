@@ -1,0 +1,166 @@
+"""Server-side micro-batching: coalesce concurrent requests into one
+device batch.
+
+The engines are batched ([B, D] in, [B, k] out) but HTTP requests arrive
+one query at a time; without coalescing every request pays a full device
+dispatch and the TPU advantage evaporates at the serving boundary (the
+reference has the same shape: one embed + one search per request,
+`src/cli/serve.rs:260-311`). The batcher holds each request for at most
+`window_ms` after the first enqueue (or until `max_batch` requests are
+waiting), embeds all pending query texts in ONE provider call, runs ONE
+engine search per options-group, and hands each caller its own rows.
+
+Requests group by their search options; `query_text` participates in the
+key only for hybrid requests (hybrid rescoring is per-text). The common
+case — plain vector search with default knobs — lands in a single group.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from leann_tpu.index.searcher import SearchOptions
+
+
+@dataclass
+class _Pending:
+    query: str
+    options: SearchOptions
+    key: Tuple
+    done: threading.Event = field(default_factory=threading.Event)
+    results: Optional[list] = None
+    error: Optional[BaseException] = None
+
+
+def _options_key(o: SearchOptions) -> Tuple:
+    filt = getattr(o.filter, "source", None) if o.filter is not None else None
+    if filt is None and o.filter is not None:
+        filt = repr(o.filter)
+    key = (o.top_k, o.complexity, o.hybrid, o.hybrid_alpha, filt, o.expand)
+    if o.hybrid:
+        key = key + (o.query_text,)
+    return key
+
+
+class MicroBatcher:
+    """Owns a worker thread that drains the request queue in flushes.
+
+    submit() blocks the calling (HTTP handler) thread until its rows are
+    ready — concurrency comes from ThreadingHTTPServer, throughput from
+    the coalesced device batches.
+    """
+
+    def __init__(
+        self,
+        searcher,
+        provider,
+        query_template: Optional[str],
+        max_batch: int = 64,
+        window_ms: float = 2.0,
+    ):
+        self.searcher = searcher
+        self.provider = provider
+        self.query_template = query_template
+        self.max_batch = max(1, int(max_batch))
+        self.window_s = max(0.0, float(window_ms)) / 1000.0
+        self._queue: List[_Pending] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(
+            target=self._run, name="leann-microbatch", daemon=True
+        )
+        self._worker.start()
+
+    # ------------------------------------------------------------- API
+
+    def submit(
+        self, query: str, options: SearchOptions, timeout: float = 120.0
+    ) -> list:
+        item = _Pending(query=query, options=options, key=_options_key(options))
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is shut down")
+            self._queue.append(item)
+            self._cv.notify()
+        if not item.done.wait(timeout):
+            raise TimeoutError("search timed out in batch queue")
+        if item.error is not None:
+            raise item.error
+        return item.results
+
+    def submit_many(
+        self, queries: Sequence[str], options: SearchOptions
+    ) -> List[list]:
+        """Batch API: embeds + searches the whole list as one unit
+        (bypasses the queue window — the caller already batched)."""
+        qvecs = self.provider.embed_with_template(
+            list(queries), self.query_template
+        )
+        return self.searcher.search(np.asarray(qvecs), options)
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join(timeout=5)
+
+    # ---------------------------------------------------------- worker
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            if batch:
+                self._flush(batch)
+
+    def _collect(self) -> Optional[List[_Pending]]:
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait()
+            if not self._queue:
+                return None  # closed and drained
+            deadline = time.monotonic() + self.window_s
+            while len(self._queue) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+                if self._closed:
+                    break
+            batch = self._queue[: self.max_batch]
+            del self._queue[: self.max_batch]
+            return batch
+
+    def _flush(self, batch: List[_Pending]) -> None:
+        try:
+            qvecs = self.provider.embed_with_template(
+                [p.query for p in batch], self.query_template
+            )
+            qvecs = np.asarray(qvecs, dtype=np.float32)
+        except BaseException as e:  # propagate to every waiter
+            for p in batch:
+                p.error = e
+                p.done.set()
+            return
+
+        groups: dict = {}
+        for i, p in enumerate(batch):
+            groups.setdefault(p.key, []).append(i)
+        for idxs in groups.values():
+            opts = batch[idxs[0]].options
+            try:
+                rows = self.searcher.search(qvecs[idxs], opts)
+            except BaseException as e:
+                for i in idxs:
+                    batch[i].error = e
+                    batch[i].done.set()
+                continue
+            for row, i in zip(rows, idxs):
+                batch[i].results = row
+                batch[i].done.set()

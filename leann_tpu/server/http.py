@@ -10,29 +10,47 @@ Route parity with the reference's axum server (`src/cli/serve.rs:90-96`):
 Like the reference, the searcher + provider load once and are shared
 across requests (serve.rs:82-87); unlike the CLI path which reloads per
 invocation. Optional permissive CORS via --cors.
+
+Unlike the reference, concurrent requests are micro-batched: each request
+enqueues into a MicroBatcher which coalesces everything that arrives
+within a ~2ms window into ONE embed call and ONE device search — the
+serving path keeps the engines' batch shape instead of paying a full
+dispatch per query. `POST /search` also accepts `queries: [...]` for an
+explicit batch.
 """
 
 from __future__ import annotations
 
 import json
-import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 from leann_tpu.index.filter import MetadataFilter
 from leann_tpu.index.searcher import IndexSearcher, SearchOptions
+from leann_tpu.server.batching import MicroBatcher
 from leann_tpu.store.locate import list_indexes
 from leann_tpu.version import __version__
 
 
 class ServerState:
-    def __init__(self, searcher: IndexSearcher, provider, query_template, index_name):
+    def __init__(
+        self,
+        searcher: IndexSearcher,
+        provider,
+        query_template,
+        index_name,
+        max_batch: int = 64,
+        batch_window_ms: float = 2.0,
+    ):
         self.searcher = searcher
         self.provider = provider
         self.query_template = query_template
         self.index_name = index_name
-        self.lock = threading.Lock()
+        self.batcher = MicroBatcher(
+            searcher, provider, query_template,
+            max_batch=max_batch, window_ms=batch_window_ms,
+        )
 
 
 def make_handler(state: ServerState, cors: bool):
@@ -109,7 +127,14 @@ def make_handler(state: ServerState, cors: bool):
                 self._send(400, {"error": "invalid JSON body"})
                 return
             query = req.get("query")
-            if not query or not isinstance(query, str):
+            queries = req.get("queries")
+            if queries is not None:
+                if not isinstance(queries, list) or not all(
+                    isinstance(s, str) and s for s in queries
+                ):
+                    self._send(400, {"error": "queries must be a list of strings"})
+                    return
+            elif not query or not isinstance(query, str):
                 self._send(400, {"error": "missing required field: query"})
                 return
             top_k = int(req.get("top_k", 5))
@@ -118,13 +143,36 @@ def make_handler(state: ServerState, cors: bool):
             if req.get("filter"):
                 filt = MetadataFilter.parse(str(req["filter"]))
             t0 = time.time()
+
+            def fmt(rows):
+                return [
+                    {
+                        "id": r.id,
+                        "score": r.score,
+                        "text": r.text,
+                        "metadata": r.metadata,
+                    }
+                    for r in rows
+                ]
+
             try:
-                with state.lock:
-                    qvec = state.provider.embed_with_template(
-                        [query], state.query_template
+                if queries is not None:
+                    opts = SearchOptions(
+                        top_k=top_k,
+                        complexity=complexity,
+                        filter=filt,
+                        hybrid=False,
+                        hybrid_alpha=float(req.get("hybrid_alpha", 0.7)),
                     )
-                results = state.searcher.search(
-                    qvec,
+                    per_query = state.batcher.submit_many(queries, opts)
+                    took_ms = int((time.time() - t0) * 1000)
+                    self._send(200, {
+                        "results_per_query": [fmt(rows) for rows in per_query],
+                        "took_ms": took_ms,
+                    })
+                    return
+                results = state.batcher.submit(
+                    query,
                     SearchOptions(
                         top_k=top_k,
                         complexity=complexity,
@@ -133,21 +181,13 @@ def make_handler(state: ServerState, cors: bool):
                         hybrid_alpha=float(req.get("hybrid_alpha", 0.7)),
                         query_text=query,
                     ),
-                )[0]
+                )
             except Exception as e:
                 self._send(500, {"error": str(e)})
                 return
             took_ms = int((time.time() - t0) * 1000)
             self._send(200, {
-                "results": [
-                    {
-                        "id": r.id,
-                        "score": r.score,
-                        "text": r.text,
-                        "metadata": r.metadata,
-                    }
-                    for r in results
-                ],
+                "results": fmt(results),
                 "took_ms": took_ms,
             })
 

@@ -214,3 +214,138 @@ def test_serve_pruned_index_via_recompute(tmp_path, monkeypatch):
         assert body["results"][0]["id"] == "t1"
     finally:
         server.shutdown()
+
+
+# ------------------------------------------------------------ micro-batching
+
+
+class _CountingSearcher:
+    """Wraps IndexSearcher, counting device-batch calls and batch sizes."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.meta = inner.meta
+        self.calls = []
+
+    def search(self, qvecs, options):
+        self.calls.append(len(qvecs))
+        return self._inner.search(qvecs, options)
+
+
+def test_microbatch_coalesces_concurrent_requests(tmp_index_base):
+    from leann_tpu.server.batching import MicroBatcher
+    from leann_tpu.index.searcher import SearchOptions
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = [f"passage number {i} about topic {i % 4}" for i in range(32)]
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        builder.add(f"t{i}", t, v, {"n": i})
+    builder.build()
+    counting = _CountingSearcher(IndexSearcher.load(tmp_index_base))
+    batcher = MicroBatcher(counting, provider, None,
+                           max_batch=64, window_ms=60.0)
+    try:
+        results = [None] * 8
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = batcher.submit(
+                    texts[i], SearchOptions(top_k=3), timeout=30
+                )
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors
+        # every caller got ITS OWN top hit back
+        for i, rows in enumerate(results):
+            assert rows is not None and rows[0].id == f"t{i}"
+        # the 8 requests coalesced into very few device batches
+        assert len(counting.calls) <= 3
+        assert sum(counting.calls) == 8
+    finally:
+        batcher.close()
+
+
+def test_microbatch_groups_by_options(tmp_index_base):
+    from leann_tpu.server.batching import MicroBatcher
+    from leann_tpu.index.searcher import SearchOptions
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        builder.add(f"t{i}", t, v, {"n": i})
+    builder.build()
+    counting = _CountingSearcher(IndexSearcher.load(tmp_index_base))
+    batcher = MicroBatcher(counting, provider, None,
+                           max_batch=8, window_ms=60.0)
+    try:
+        out = {}
+
+        def worker(key, q, k):
+            from leann_tpu.index.searcher import SearchOptions as SO
+            out[key] = batcher.submit(q, SO(top_k=k), timeout=30)
+
+        ts = [
+            threading.Thread(target=worker, args=("a", texts[0], 1)),
+            threading.Thread(target=worker, args=("b", texts[1], 1)),
+            threading.Thread(target=worker, args=("c", texts[2], 2)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+        assert out["a"][0].id == "t0" and len(out["a"]) == 1
+        assert out["b"][0].id == "t1"
+        assert out["c"][0].id == "t2" and len(out["c"]) == 2
+    finally:
+        batcher.close()
+
+
+def test_microbatch_propagates_errors(tmp_index_base):
+    from leann_tpu.server.batching import MicroBatcher
+    from leann_tpu.index.searcher import SearchOptions
+
+    class BoomProvider:
+        def embed_with_template(self, texts, template):
+            raise RuntimeError("embed exploded")
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    builder.add("t0", "hello", provider.embed(["hello"])[0], {})
+    builder.build()
+    searcher = IndexSearcher.load(tmp_index_base)
+    batcher = MicroBatcher(searcher, BoomProvider(), None,
+                           max_batch=4, window_ms=1.0)
+    try:
+        with pytest.raises(RuntimeError, match="embed exploded"):
+            batcher.submit("hello", SearchOptions(top_k=1), timeout=10)
+    finally:
+        batcher.close()
+
+
+def test_search_batch_endpoint(http_server):
+    status, body = _post(
+        http_server + "/search",
+        {"queries": ["tensor processing units and the MXU",
+                     "bm25 ranking function"], "top_k": 1},
+    )
+    assert status == 200
+    per_q = body["results_per_query"]
+    assert len(per_q) == 2
+    assert per_q[0][0]["id"] == "t1"
+    assert per_q[1][0]["id"] == "t2"
+
+
+def test_search_batch_endpoint_rejects_bad_list(http_server):
+    status, body = _post(
+        http_server + "/search", {"queries": ["ok", 42], "top_k": 1}
+    )
+    assert status == 400
