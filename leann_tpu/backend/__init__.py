@@ -111,20 +111,60 @@ class IvfSearcher:
 
 
 class ShardedSearcher:
-    """Corpus row-sharded exact search over every available device
-    (parallel/sharded.py) behind the backend-searcher interface. Used by
-    `search --sharded` / `serve --sharded` when a mesh of >1 device is
-    available; per-shard graph/ivf serving stays library-level
-    (ShardedGraphIndex builds per-shard subgraphs)."""
+    """Corpus row-sharded search over every available device
+    (parallel/sharded.py) behind the backend-searcher interface, used by
+    `search --sharded` / `serve --sharded`. Dispatches on the index's
+    backend: flat -> ShardedFlatIndex, vamana -> ShardedGraphIndex (one
+    subgraph per shard), ivf -> ShardedIvfIndex (per-shard k-means).
 
-    def __init__(self, vectors: np.ndarray, metric: str = "ip"):
-        from leann_tpu.parallel import ShardedFlatIndex, make_mesh
+    Per-shard graph/IVF structures are expensive to build, so they
+    persist to `<base>.shards.npz` (store/shardfile.py): the first
+    sharded load builds + saves; later loads (same shard count) reuse.
+    """
+
+    def __init__(self, vectors: np.ndarray, metric: str = "ip",
+                 backend: str = "flat", base: str = ""):
+        from leann_tpu.parallel import (
+            ShardedFlatIndex, ShardedGraphIndex, ShardedIvfIndex, make_mesh,
+        )
+        from leann_tpu.store import shardfile
 
         mesh = make_mesh()
-        self.index = ShardedFlatIndex(
-            np.asarray(vectors), mesh, metric=metric
-        )
         self.n_shards = mesh.shape["shard"]
+        self.backend = resolve_backend(backend)
+        vectors = np.asarray(vectors)
+        art = shardfile.load_shards(base, self.n_shards) if base else None
+
+        if self.backend == "vamana":
+            if art is not None and art["kind"] == "graph":
+                self.index = ShardedGraphIndex(
+                    vectors, mesh, metric=metric,
+                    adjacency_shards=art["adjacency"],
+                    medoids=art["medoids"],
+                )
+            else:
+                self.index = ShardedGraphIndex(vectors, mesh, metric=metric)
+                if base:
+                    shardfile.save_graph_shards(
+                        base, np.asarray(self.index.adjacency_shards),
+                        self.index.medoids_host, self.index.n, metric,
+                    )
+        elif self.backend == "ivf":
+            if art is not None and art["kind"] == "ivf":
+                self.index = ShardedIvfIndex(
+                    vectors, mesh, metric=metric,
+                    centers_shards=art["centers_list"],
+                    assign_shards=art["assign_list"],
+                )
+            else:
+                self.index = ShardedIvfIndex(vectors, mesh, metric=metric)
+                if base:
+                    shardfile.save_ivf_shards(
+                        base, self.index.centers_host,
+                        self.index.assign_host, self.index.n, metric,
+                    )
+        else:
+            self.index = ShardedFlatIndex(vectors, mesh, metric=metric)
 
     def __len__(self) -> int:
         return self.index.n
@@ -132,6 +172,14 @@ class ShardedSearcher:
     def search(
         self, queries: np.ndarray, k: int, complexity: int = 64
     ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.backend == "vamana":
+            return self.index.search(
+                queries, k=k, beam_width=max(complexity, k)
+            )
+        if self.backend == "ivf":
+            return self.index.search(
+                queries, k=k, nprobe=max(complexity // 2, 8)
+            )
         return self.index.search(queries, k=k)
 
 
@@ -143,7 +191,8 @@ def load_searcher(
 
         vectors = EmbeddingsStore(base, meta.dimensions).all()
         return ShardedSearcher(
-            np.asarray(vectors), metric=getattr(meta, "metric", "ip")
+            np.asarray(vectors), metric=getattr(meta, "metric", "ip"),
+            backend=meta.backend_name, base=base,
         )
     return _load_local_searcher(base, meta)
 

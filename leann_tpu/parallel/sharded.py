@@ -281,6 +281,8 @@ class ShardedIvfIndex:
         kmeans_iters: int = 8,
         cap: Optional[int] = None,
         seed: int = 0,
+        centers_shards: Optional[list] = None,  # per-shard [K_s, D] f32
+        assign_shards: Optional[list] = None,   # per-shard [valid_s] int32
     ):
         from leann_tpu.ops.ivf import kmeans, pack_buckets
 
@@ -299,14 +301,23 @@ class ShardedIvfIndex:
 
         padded = _pad_rows(vectors, self.rows * self.n_shards)
         per_shard = []
+        # kept for persistence (store/shardfile.py)
+        self.centers_host: list = []
+        self.assign_host: list = []
         for s in range(self.n_shards):
             block = padded[s * self.rows : (s + 1) * self.rows]
             valid = min(self.rows, max(1, self.n - s * self.rows))
-            k = n_clusters or max(16, int(2 * valid ** 0.5))
-            centers, assign = kmeans(
-                block[:valid], min(k, valid), iters=kmeans_iters,
-                metric=self.metric, seed=seed + s,
-            )
+            if centers_shards is not None and assign_shards is not None:
+                centers = np.asarray(centers_shards[s], np.float32)
+                assign = np.asarray(assign_shards[s], np.int32)
+            else:
+                k = n_clusters or max(16, int(2 * valid ** 0.5))
+                centers, assign = kmeans(
+                    block[:valid], min(k, valid), iters=kmeans_iters,
+                    metric=self.metric, seed=seed + s,
+                )
+            self.centers_host.append(np.asarray(centers, np.float32))
+            self.assign_host.append(np.asarray(assign, np.int32))
             ids, cent, vecs = pack_buckets(block[:valid], assign, centers, cap=cap)
             per_shard.append((ids, cent, vecs))
 

@@ -116,3 +116,98 @@ def test_sharded_ivf_dp_mesh_uneven_n():
     idx, _ = index.search(q, k=5, nprobe=8)
     assert idx.shape == (3, 5)
     assert (idx < 777).all() and (idx >= 0).all()
+
+
+# ----------------------------------------------------- sharded persistence
+
+
+def _build_small_index(base, backend, n=400, d=32, seed=0):
+    from leann_tpu.index.builder import IndexBuilder
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    builder = IndexBuilder(base, dim=d, backend=backend)
+    for i in range(n):
+        builder.add(f"p{i}", f"passage {i}", vecs[i], {"n": i})
+    builder.build()
+    return vecs
+
+
+@pytest.mark.parametrize("backend", ["flat", "vamana", "ivf"])
+def test_sharded_searcher_all_backends(tmp_path, backend):
+    from leann_tpu.backend import load_searcher
+    from leann_tpu.store.meta import IndexMeta, meta_path
+
+    base = str(tmp_path / "documents.leann")
+    vecs = _build_small_index(base, backend)
+    meta = IndexMeta.load(meta_path(base))
+    s = load_searcher(base, meta, sharded=True)
+    assert s.n_shards == 8
+
+    q = vecs[7] + np.random.default_rng(1).standard_normal(32) * 0.01
+    idx, _ = s.search(q[None].astype(np.float32), k=5, complexity=64)
+    assert 7 in idx[0]
+
+
+def test_sharded_artifacts_persist_and_reload(tmp_path, monkeypatch):
+    from leann_tpu.backend import load_searcher
+    from leann_tpu.store.meta import IndexMeta, meta_path
+    from leann_tpu.store.shardfile import shards_path
+
+    base = str(tmp_path / "documents.leann")
+    vecs = _build_small_index(base, "vamana")
+    meta = IndexMeta.load(meta_path(base))
+    s1 = load_searcher(base, meta, sharded=True)
+    import os
+
+    assert os.path.exists(shards_path(base))
+    q = vecs[3:5].astype(np.float32)
+    idx1, _ = s1.search(q, k=5)
+
+    # second load must NOT rebuild: poison build_vamana
+    import leann_tpu.ops.vamana as vam
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("rebuild attempted despite persisted shards")
+
+    monkeypatch.setattr(vam, "build_vamana", boom)
+    s2 = load_searcher(base, meta, sharded=True)
+    idx2, _ = s2.search(q, k=5)
+    np.testing.assert_array_equal(idx1, idx2)
+
+
+def test_sharded_ivf_artifacts_reload(tmp_path, monkeypatch):
+    from leann_tpu.backend import load_searcher
+    from leann_tpu.store.meta import IndexMeta, meta_path
+    from leann_tpu.store.shardfile import shards_path
+
+    base = str(tmp_path / "documents.leann")
+    vecs = _build_small_index(base, "ivf")
+    meta = IndexMeta.load(meta_path(base))
+    s1 = load_searcher(base, meta, sharded=True)
+    import os
+
+    assert os.path.exists(shards_path(base))
+    q = vecs[11:12].astype(np.float32)
+    idx1, _ = s1.search(q, k=5)
+
+    import leann_tpu.ops.ivf as ivfops
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("kmeans re-run despite persisted shards")
+
+    monkeypatch.setattr(ivfops, "kmeans", boom)
+    s2 = load_searcher(base, meta, sharded=True)
+    idx2, _ = s2.search(q, k=5)
+    np.testing.assert_array_equal(idx1, idx2)
+
+
+def test_shardfile_rejects_wrong_shard_count(tmp_path):
+    from leann_tpu.store import shardfile
+
+    base = str(tmp_path / "documents.leann")
+    adj = np.zeros((4, 10, 8), np.int32)
+    med = np.zeros(4, np.int32)
+    shardfile.save_graph_shards(base, adj, med, n=40, metric="ip")
+    assert shardfile.load_shards(base, 4) is not None
+    assert shardfile.load_shards(base, 8) is None
