@@ -217,8 +217,11 @@ def config4(scale, rng):
     s.search(provider.embed([texts[0]]), SearchOptions(
         top_k=10, hybrid=True, query_text=texts[0], filter=filt,
     ))
+    # p99 needs a real tail: >=1k samples (p99 of 60 samples is just the
+    # max — a single outlier, not a percentile)
+    n_samples = int(os.environ.get("EVAL_LAT_SAMPLES", 1000))
     lat = []
-    for i in range(60):
+    for i in range(n_samples):
         qtext = texts[rng.integers(0, n)]
         qv = provider.embed([qtext])
         t0 = time.time()
@@ -226,10 +229,10 @@ def config4(scale, rng):
             top_k=10, hybrid=True, query_text=qtext, filter=filt,
         ))
         lat.append(time.time() - t0)
-    lat = np.asarray(sorted(lat))
-    emit(4, n=n, backend="ivf+hybrid+filter",
-         p50_ms=round(1000 * lat[len(lat) // 2], 1),
-         p99_ms=round(1000 * lat[int(len(lat) * 0.99)], 1))
+    lat = np.asarray(lat)
+    emit(4, n=n, backend="ivf+hybrid+filter", samples=n_samples,
+         p50_ms=round(1000 * float(np.percentile(lat, 50)), 1),
+         p99_ms=round(1000 * float(np.percentile(lat, 99)), 1))
 
 
 CONFIGS = {0: config0, 1: config1, 2: config2, 3: config3, 4: config4}

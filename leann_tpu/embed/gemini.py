@@ -17,13 +17,19 @@ BASE = "https://generativelanguage.googleapis.com/v1beta"
 
 
 class GeminiEmbedding:
-    def __init__(self, model: str = "text-embedding-004", api_key: Optional[str] = None):
+    def __init__(
+        self,
+        model: str = "text-embedding-004",
+        api_key: Optional[str] = None,
+        base_url: Optional[str] = None,
+    ):
         self.model = model
         self.api_key = (
             api_key
             or os.environ.get("GOOGLE_API_KEY")
             or os.environ.get("GEMINI_API_KEY", "")
         )
+        self.base_url = (base_url or BASE).rstrip("/")
         self.dimensions = 768
 
     def embed(self, texts: Sequence[str]) -> np.ndarray:
@@ -32,7 +38,7 @@ class GeminiEmbedding:
         for i in range(0, len(texts), BATCH_SIZE):
             batch = list(texts[i : i + BATCH_SIZE])
             resp = post_json(
-                f"{BASE}/{model}:batchEmbedContents?key={self.api_key}",
+                f"{self.base_url}/{model}:batchEmbedContents?key={self.api_key}",
                 {
                     "requests": [
                         {"model": model, "content": {"parts": [{"text": t}]}}

@@ -51,6 +51,13 @@ class MockApi(BaseHTTPRequestHandler):
             }}]}
         elif self.path == "/api/generate":
             resp = {"response": f"gen: {body['prompt'][:10]}", "done": True}
+        elif ":batchEmbedContents" in self.path:
+            reqs = body["requests"]
+            resp = {"embeddings": [
+                {"values": [float(len(r["content"]["parts"][0]["text"])),
+                            3.0, 4.0]}
+                for r in reqs
+            ]}
         else:
             self.send_response(404)
             self.end_headers()
@@ -138,3 +145,34 @@ def test_lmstudio_mode_routes_to_openai_compatible(mock_api):
     assert p.mode == "openai"
     out = p.embed(["ab"])
     assert out.shape == (1, 3)
+
+
+def test_gemini_embedding_batches_of_100(mock_api):
+    from leann_tpu.embed.gemini import GeminiEmbedding
+
+    provider = GeminiEmbedding(model="text-embedding-004", api_key="gk",
+                               base_url=mock_api + "/v1beta")
+    texts = [f"t{i:03d}" for i in range(150)]
+    vecs = provider.embed(texts)
+    assert vecs.shape == (150, 3)
+    # batch split: 100 + 50, routed to :batchEmbedContents with key in URL
+    gemini_calls = [c for c in MockApi.calls if ":batchEmbedContents" in c[0]]
+    assert [len(c[1]["requests"]) for c in gemini_calls] == [100, 50]
+    assert all("key=gk" in c[0] for c in gemini_calls)
+    # model name gets the models/ prefix (reference gemini.rs behavior)
+    assert all("/models/text-embedding-004:" in c[0] for c in gemini_calls)
+    # dimension updates from the live response
+    assert provider.dimensions == 3
+    # per-text payload shape round-trips (first value = len(text))
+    assert vecs[0][0] == 4.0
+
+
+def test_gemini_env_key_resolution(mock_api, monkeypatch):
+    from leann_tpu.embed.gemini import GeminiEmbedding
+
+    monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
+    monkeypatch.setenv("GEMINI_API_KEY", "envkey")
+    provider = GeminiEmbedding(base_url=mock_api + "/v1beta")
+    provider.embed(["hello"])
+    call = [c for c in MockApi.calls if ":batchEmbedContents" in c[0]][-1]
+    assert "key=envkey" in call[0]
