@@ -73,12 +73,21 @@ def run(args) -> int:
         _answer(session, args.question, args.show_sources)
         return 0
 
-    # interactive REPL
+    # interactive REPL with line editing: readline gives arrow keys,
+    # Ctrl-R search, and in-session history recall over the same
+    # persisted history file (reference uses rustyline, ask.rs:200-317)
     history = []
     os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
     if os.path.exists(HISTORY_PATH):
         with open(HISTORY_PATH, "r", encoding="utf-8") as f:
             history = [line.rstrip("\n") for line in f]
+    try:
+        import readline  # noqa: F401 — side effect: input() line editing
+
+        for h in history[-1000:]:
+            readline.add_history(h)
+    except ImportError:  # non-readline platform: plain input() still works
+        pass
     print("Interactive RAG. Commands: /help /clear /history /quit")
     while True:
         try:

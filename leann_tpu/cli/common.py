@@ -142,16 +142,24 @@ def collect_file_paths(
 
 
 def load_file_content(path: str) -> Optional[str]:
-    """Text loader; PDF needs an extractor lib (absent in this build —
-    the reference gates PDF behind a cargo feature the same way)."""
+    """Text loader. PDFs extract out of the box (reference parity:
+    build.rs:631-661 bundles pdf-extract): pypdf when installed, else
+    the built-in pure-Python extractor (utils/pdftext.py)."""
     if path.lower().endswith(".pdf"):
         try:
-            import pypdf  # noqa: F401
+            import pypdf
+
+            reader = pypdf.PdfReader(path)
+            return "\n".join(page.extract_text() or "" for page in reader.pages)
         except ImportError:
-            print(f"  skipping {path}: PDF support unavailable", file=sys.stderr)
-            return None
-        reader = pypdf.PdfReader(path)
-        return "\n".join(page.extract_text() or "" for page in reader.pages)
+            from leann_tpu.utils.pdftext import extract_pdf_text
+
+            text = extract_pdf_text(path)
+            if not text:
+                print(f"  skipping {path}: no extractable text",
+                      file=sys.stderr)
+                return None
+            return text
     try:
         with open(path, "r", encoding="utf-8", errors="replace") as f:
             return f.read()

@@ -111,3 +111,84 @@ def test_oversize_block_split():
     code = [c for c in chunks if c.metadata.get("chunk_type") == "code"]
     assert len(code) > 1  # split
     assert all(c.metadata["name"] == "big" for c in code)
+
+
+# ------------------------------------------------------------- PDF loading
+
+
+def _make_pdf(path, page_texts, compress=True):
+    """Write a minimal single-font PDF with one content stream per page."""
+    import zlib
+
+    objs = []
+    page_ids = [4 + 2 * i for i in range(len(page_texts))]
+    kids = " ".join(f"{pid} 0 R" for pid in page_ids)
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {len(page_texts)} >>".encode()
+    )
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, text in enumerate(page_texts):
+        esc = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+        content = f"BT /F1 12 Tf 72 720 Td ({esc}) Tj ET".encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /Contents {page_ids[i] + 1} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>".encode()
+        )
+        objs.append(
+            b"<< " + filt + f"/Length {len(content)} >>\nstream\n".encode()
+            + content + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def test_pdf_text_extraction_flate(tmp_path):
+    from leann_tpu.utils.pdftext import extract_pdf_text
+
+    p = tmp_path / "doc.pdf"
+    _make_pdf(str(p), ["Hello TPU world (with parens)", "Second page text"])
+    text = extract_pdf_text(str(p))
+    assert "Hello TPU world (with parens)" in text
+    assert "Second page text" in text
+
+
+def test_pdf_text_extraction_uncompressed_and_tj_array(tmp_path):
+    from leann_tpu.utils.pdftext import extract_pdf_text
+
+    p = tmp_path / "doc.pdf"
+    _make_pdf(str(p), ["plain stream body"], compress=False)
+    text = extract_pdf_text(str(p))
+    assert "plain stream body" in text
+
+
+def test_load_file_content_reads_pdf(tmp_path):
+    from leann_tpu.cli.common import load_file_content
+
+    p = tmp_path / "notes.pdf"
+    _make_pdf(str(p), ["bm25 ranking inside a pdf"])
+    text = load_file_content(str(p))
+    assert text is not None and "bm25 ranking inside a pdf" in text
+
+
+def test_load_file_content_pdf_no_text(tmp_path):
+    from leann_tpu.cli.common import load_file_content
+
+    p = tmp_path / "empty.pdf"
+    p.write_bytes(b"%PDF-1.4\nnothing here\n%%EOF\n")
+    assert load_file_content(str(p)) is None
