@@ -186,6 +186,29 @@ def _rescore_topk(
     return top_scores, top_idx
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "c", "metric", "chunk_size")
+)
+def _two_stage_jit(
+    queries: jnp.ndarray,       # [B, D] f32
+    vectors_bf16: jnp.ndarray,  # [N_pad, D] bf16
+    vectors: jnp.ndarray,       # [N_pad, D] f32
+    valid_n: jnp.ndarray,
+    k: int,
+    c: int,
+    metric: Metric,
+    chunk_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Whole flat search as ONE dispatch: bf16 scan keeping c candidates,
+    then f32 rescore to top-k. One dispatch instead of two matters on
+    serving paths where per-call overhead rivals the compute (the scan
+    itself is ~2ms of MXU time at 1M x 128 x 2048)."""
+    _, cand = _exact_topk_jit(
+        queries, vectors_bf16, valid_n, c, metric, chunk_size, approx=True
+    )
+    return _rescore_topk(queries, vectors, cand, k, metric)
+
+
 class ExactEngine:
     """Device-resident exact search engine (the serving-grade flat path).
 
@@ -241,13 +264,22 @@ class ExactEngine:
                 self.chunk_size,
             )
         else:
-            c = min(max(rescore_factor * k, k), self.n)
-            _, cand = _exact_topk_jit(
-                qd, self.vectors_bf16, jnp.int32(self.n), c, self.metric,
-                self.chunk_size, approx=True,
-            )
-            scores, idx = _rescore_topk(qd, self.vectors, cand, k, self.metric)
+            scores, idx = self.search_device(qd, k, rescore_factor)
         return np.asarray(idx), np.asarray(scores)
+
+    def search_device(
+        self, queries: jnp.ndarray, k: int = 10, rescore_factor: int = 8
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-in/device-out two-stage search (one jit dispatch, no
+        host sync) — the building block for pipelined serving: issue
+        batch i+1 before collecting batch i and the host<->device
+        transfers overlap the scan."""
+        k = min(k, self.n)
+        c = min(max(rescore_factor * k, k), self.n)
+        return _two_stage_jit(
+            queries, self.vectors_bf16, self.vectors, jnp.int32(self.n),
+            k, c, self.metric, self.chunk_size,
+        )
 
 
 def exact_topk(

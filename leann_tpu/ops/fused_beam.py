@@ -30,7 +30,7 @@ systolic-array program rather than pointer chasing.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,10 +45,23 @@ BIG_I32 = np.int32(2**30)
 # ------------------------------------------------------------------ pack
 
 
+def quantize_corpus(
+    vectors: jnp.ndarray,  # [N+1, D] f32
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-quantize: (q8 [N+1, D] int8, scale [N+1] f32, nsq [N+1] f32)."""
+    scale = jnp.maximum(jnp.max(jnp.abs(vectors), axis=1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(vectors / scale[:, None]), -127, 127).astype(
+        jnp.int8
+    )
+    nsq = jnp.sum(vectors * vectors, axis=1)
+    return q8, scale, nsq
+
+
 def pack_fused(
     vectors: jnp.ndarray,    # [N+1, D] f32 (sentinel row N = zeros)
     adjacency: jnp.ndarray,  # [N+1, R] int32 (pad = N), R <= 128
     chunk: int = 131072,
+    quant: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Build (blocks_i8 [N+1, R, D], meta_i32 [N+1, 3, 128]).
 
@@ -63,11 +76,7 @@ def pack_fused(
     if r > 128:
         raise ValueError(f"fused pack supports R <= 128 (got {r})")
 
-    scale = jnp.maximum(jnp.max(jnp.abs(vectors), axis=1), 1e-12) / 127.0
-    q8 = jnp.clip(jnp.round(vectors / scale[:, None]), -127, 127).astype(
-        jnp.int8
-    )
-    nsq = jnp.sum(vectors * vectors, axis=1)
+    q8, scale, nsq = quant if quant is not None else quantize_corpus(vectors)
 
     step = min(chunk, n1)
     blocks = jnp.zeros((n1, r, d), jnp.int8)
@@ -103,6 +112,86 @@ def pack_fused(
             jnp.int32(min(i, n1 - step)),
         )
     return blocks, meta
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def repack_rows(
+    blocks: jnp.ndarray,     # [N+1, R, D] i8 (donated)
+    meta: jnp.ndarray,       # [N+1, 3, 128] i32 (donated)
+    q8: jnp.ndarray,         # [N+1, D] i8
+    scale: jnp.ndarray,      # [N+1] f32
+    nsq: jnp.ndarray,        # [N+1] f32
+    adjacency: jnp.ndarray,  # [N+1, R] i32
+    rows: jnp.ndarray,       # [K] i32, pad = sentinel N
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Refresh the packed records of `rows` after their adjacency rows
+    changed (the graph builder's per-wave incremental repack). Pad rows
+    (= N) rewrite the sentinel row with its own correct content —
+    adjacency[N] is all-sentinel and q8[N] is zeros — so duplicate pad
+    scatters are harmless."""
+    n1 = blocks.shape[0]
+    r = adjacency.shape[1]
+    k = rows.shape[0]
+    adj_rows = adjacency[rows]                              # [K, R]
+    blk = q8[adj_rows]                                      # [K, R, D]
+    idpad = jnp.full((k, 128 - r), n1 - 1, jnp.int32)
+    fpad = jnp.zeros((k, 128 - r), jnp.int32)
+    m = jnp.stack(
+        [
+            jnp.concatenate([adj_rows, idpad], axis=1),
+            jnp.concatenate(
+                [jax.lax.bitcast_convert_type(scale[adj_rows], jnp.int32),
+                 fpad], axis=1),
+            jnp.concatenate(
+                [jax.lax.bitcast_convert_type(nsq[adj_rows], jnp.int32),
+                 fpad], axis=1),
+        ],
+        axis=1,
+    )                                                       # [K, 3, 128]
+    blocks = blocks.at[rows].set(blk)
+    meta = meta.at[rows].set(m)
+    return blocks, meta
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "beam_width", "max_iters", "metric",
+                     "expansions", "track_visited", "qb"),
+)
+def fused_wave_search(
+    queries: jnp.ndarray,    # [B, D] f32, B % qb == 0
+    vecs_dev: jnp.ndarray,   # [N+1, D] f32 (for the medoid seed score)
+    sq_norms: jnp.ndarray,   # [N+1] f32
+    blocks: jnp.ndarray,
+    meta: jnp.ndarray,
+    medoid: jnp.ndarray,     # [] int32
+    exclude: jnp.ndarray,    # [B] int32 (the point being inserted)
+    r: int,
+    beam_width: int,
+    max_iters: int,
+    metric: str,
+    expansions: int = 2,
+    track_visited: int = 160,
+    qb: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Graph-builder wave search on the fused kernel: medoid entry,
+    visited-set logging. Returns (beam_ids [B, L], vlog_ids [B, VT])."""
+    b = queries.shape[0]
+    mv = vecs_dev[medoid]
+    dots = queries @ mv                                     # [B]
+    if metric == "l2":
+        seed_sc = 2.0 * dots - sq_norms[medoid]
+    else:
+        seed_sc = dots
+    seed_ids = jnp.broadcast_to(
+        medoid.astype(jnp.int32)[None, None], (b, 1)
+    )
+    beam_ids, _, vlog = fused_beam_search(
+        queries, blocks, meta, seed_ids, seed_sc[:, None], exclude,
+        r=r, beam_width=beam_width, max_iters=max_iters, metric=metric,
+        expansions=expansions, qb=qb, track_visited=track_visited,
+    )
+    return beam_ids, vlog[:, :track_visited]
 
 
 # ------------------------------------------------------------ sort network
@@ -175,7 +264,11 @@ def _first_k_unexpanded(sc, exp, e):
 # ---------------------------------------------------------------- kernel
 
 
-def _make_kernel(qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel):
+def _make_kernel(qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel,
+                 vt=0):
+    """vt > 0 adds a [QB, vt] output logging the first vt/e hops'
+    expanded node ids per query (the Vamana visited set V — the graph
+    builder prunes over V ++ beam, see ops/vamana.py)."""
     if e > 2:
         raise ValueError("fused kernel supports expansions <= 2")
     rp = -(-r // 128) * 128   # lane-aligned candidate width per expansion
@@ -199,13 +292,19 @@ def _make_kernel(qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel):
         meta_hbm,     # [N+1, 3, 128] i32 (ANY)
         out_id_ref,   # [QB, L] i32
         out_sc_ref,   # [QB, L] f32
-        state_sc, state_id, state_exp,    # [QB, P2] VMEM f32/i32/i32
-        ring,                             # [QB*E, V] i32 VMEM (pair-major)
-        upos,                             # [QB, 128] i32 VMEM (u node ids)
-        blk_scr,                          # [QB*E, R, D] i8 VMEM
-        meta_scr,                         # [QB*E, 3, 128] i32 VMEM
-        blk_sems, meta_sems,              # DMA sems [QB*E]
+        *rest,        # [out_vl_ref [QB, VT] i32 when vt>0] + scratch:
+                      # state_sc/state_id/state_exp [QB, P2], ring
+                      # [QB*E, V], upos [QB, 128], blk_scr, meta_scr,
+                      # blk_sems, meta_sems
     ):
+        if vt:
+            out_vl_ref, rest_ = rest[0], rest[1:]
+        else:
+            out_vl_ref, rest_ = None, rest
+        (state_sc, state_id, state_exp, ring, upos, blk_scr, meta_scr,
+         blk_sems, meta_sems) = rest_
+        if vt:
+            out_vl_ref[:] = jnp.full((qb, vt), n_sentinel, jnp.int32)
         state_sc[:] = seed_sc_ref[:]
         state_id[:] = seed_id_ref[:]
         state_exp[:] = jnp.zeros((qb, p2), jnp.int32)
@@ -217,7 +316,6 @@ def _make_kernel(qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel):
         excl_rep = rep_rows(excl_ref[:])[:, 0:1]          # [QB*E, 1]
 
         def hop(it, carry):
-            del it
             done = carry
             sc, ids, exp = state_sc[:], state_id[:], state_exp[:]
 
@@ -246,6 +344,20 @@ def _make_kernel(qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel):
                 u_cols.append(u_t)
             u = jnp.concatenate(u_cols, axis=1)           # [QB, E]
             upos[:, :e] = u
+
+            if vt:
+                # log this hop's expanded ids at lanes [it*e, it*e + e)
+                # (inactive expansions log the sentinel); hops past vt/e
+                # fall outside the lane range and write nothing
+                lane = jax.lax.broadcasted_iota(jnp.int32, (qb, vt), 1)
+                if e == 2:
+                    u_lane = jnp.where(
+                        lane % 2 == 0, u[:, 0:1], u[:, 1:2]
+                    )
+                else:
+                    u_lane = jnp.broadcast_to(u[:, 0:1], (qb, vt))
+                in_range = (lane >= it * e) & (lane < it * e + e)
+                out_vl_ref[:] = jnp.where(in_range, u_lane, out_vl_ref[:])
 
             @pl.when(any_active)
             def _():
@@ -397,7 +509,7 @@ def _make_kernel(qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel):
     jax.jit,
     static_argnames=(
         "r", "beam_width", "max_iters", "metric", "expansions", "qb",
-        "ring_size", "interpret",
+        "ring_size", "track_visited", "interpret",
     ),
 )
 def fused_beam_search(
@@ -414,10 +526,14 @@ def fused_beam_search(
     expansions: int = 2,
     qb: int = 16,
     ring_size: int = 1024,
+    track_visited: int = 0,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, ...]:
     """Returns (beam_ids [B, L] desc, beam_scores [B, L]) — int8-scored;
-    rescore against the f32 corpus for exact ordering."""
+    rescore against the f32 corpus for exact ordering. With
+    track_visited > 0, also returns vlog_ids [B, VT] (VT = track_visited
+    rounded up to a multiple of 128): the first VT/E hops' expanded node
+    ids per query (sentinel-padded) — the Vamana visited set."""
     b, d = queries.shape
     n1 = blocks_i8.shape[0]
     n_sentinel = n1 - 1
@@ -427,6 +543,7 @@ def fused_beam_search(
     l = beam_width
     p2 = 1 << int(np.ceil(np.log2(l + c)))
     s = seed_ids.shape[1]
+    vt = -(-track_visited // 128) * 128 if track_visited else 0
     if s > l:
         raise ValueError(f"seeds {s} > beam width {l}")
     if meta_i32.shape[1:] != (3, 128) or blocks_i8.shape[1:] != (r, d):
@@ -443,10 +560,23 @@ def fused_beam_search(
     )
 
     kernel = _make_kernel(
-        qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel
+        qb, e, r, d, l, p2, v, max_iters, metric, n_sentinel, vt=vt
     )
     grid = (b // qb,)
-    out_ids, out_sc = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((qb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, l), jnp.int32),
+        jax.ShapeDtypeStruct((b, l), jnp.float32),
+    ]
+    if vt:
+        out_specs.append(
+            pl.BlockSpec((qb, vt), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((b, vt), jnp.int32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -457,14 +587,8 @@ def fused_beam_search(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((qb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, l), jnp.int32),
-            jax.ShapeDtypeStruct((b, l), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((qb, p2), jnp.float32),
             pltpu.VMEM((qb, p2), jnp.int32),
@@ -478,7 +602,7 @@ def fused_beam_search(
         ],
         interpret=interpret,
     )(queries, seed_id_full, seed_sc_full, excl_full, blocks_i8, meta_i32)
-    return out_ids, out_sc
+    return tuple(outs)
 
 
 # ------------------------------------------------------------- host engine

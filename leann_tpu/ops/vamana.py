@@ -252,11 +252,55 @@ def _insert_waves(
     max_iters: int,
     expansions: int = 2,
 ) -> jnp.ndarray:
+    import os
+    import sys
+    import time
+
+    profile = bool(os.environ.get("LEANN_BUILD_PROFILE"))
     n = vecs_dev.shape[0] - 1
+    d = vecs_dev.shape[1]
     r = graph_degree
     sentinel = jnp.int32(n)
     alpha_dev = jnp.float32(alpha)
+
+    # --- engine selection: the fused whole-traversal Pallas kernel cuts
+    # the wave search ~4x vs the XLA hop loop (the build's dominant
+    # phase: 4.5s of a 5.7s wave at 1M R=48 L=80). It needs lane-aligned
+    # dims, R <= 128, e <= 2, and HBM for the int8 inline blocks
+    # ((N+1)*R*D bytes + 1.5KB/node meta; 1M R=48 D=128 = 7.6GB).
+    choice = os.environ.get("LEANN_BUILD_ENGINE", "auto")
+    if choice == "auto":
+        from leann_tpu.ops.pallas_kernels import pallas_available
+
+        blocks_gb = (n + 1) * r * d / 1e9
+        use_fused = (
+            pallas_available()
+            and d % 128 == 0
+            and r <= 128
+            and expansions <= 2
+            and blocks_gb < 9.0
+        )
+    else:
+        use_fused = choice == "fused"
+
+    if use_fused:
+        from leann_tpu.ops.fused_beam import (
+            fused_wave_search,
+            pack_fused,
+            quantize_corpus,
+            repack_rows,
+        )
+
+        quant = quantize_corpus(vecs_dev)
+        blocks, meta = pack_fused(vecs_dev, adjacency, quant=quant)
+        q8, scale, nsq = quant
+        # fixed-shape changed-row buffer: wave rows + reverse-updated
+        # rows (<= wave*R), padded with the sentinel (self-healing)
+        repack_cap = wave_size * (r + 1)
+
+    track = 2 * beam_width
     for start in range(0, len(order), wave_size):
+        t0 = time.time()
         wave = order[start : start + wave_size]
         w = len(wave)
         # keep the wave shape constant across waves (one compile); only a
@@ -267,27 +311,41 @@ def _insert_waves(
         ).astype(np.int32)
         q = np.asarray(vectors[wave_pad])                           # [wb, D]
 
-        beam_ids, _, vlog_ids, _ = beam_search_batch(
-            jnp.asarray(q),
-            vecs_dev,
-            adjacency,
-            sq_norms,
-            medoid_dev,
-            jnp.asarray(wave_pad),   # exclude self
-            beam_width=beam_width,
-            # E>1 converges in ~E x fewer hops via the while_loop's early
-            # exit; the cap must NOT shrink with E or hard (uniform)
-            # distributions lose candidate quality and graph recall
-            max_iters=max_iters,
-            metric=metric,
-            expansions=expansions,
-            precision="default",  # builder traversal: bf16 MXU fast path
-            # Vamana prunes over the search's VISITED set, not just the
-            # final beam: the early (far) expansions are what the alpha
-            # rule turns into long-range edges; without them large graphs
-            # lose navigability (recall@10 0.99 -> 0.28 at 50k -> 1M)
-            track_visited=2 * beam_width,
-        )
+        if use_fused:
+            # Vamana prunes over the search's VISITED set (track) — the
+            # early, far expansions become the long-range edges; the
+            # kernel logs the first `track` expanded nodes per query
+            beam_ids, vlog_ids = fused_wave_search(
+                jnp.asarray(q), vecs_dev, sq_norms, blocks, meta,
+                medoid_dev, jnp.asarray(wave_pad),
+                r=r, beam_width=beam_width, max_iters=max_iters,
+                metric=metric, expansions=expansions,
+                track_visited=track,
+            )
+        else:
+            beam_ids, _, vlog_ids, _ = beam_search_batch(
+                jnp.asarray(q),
+                vecs_dev,
+                adjacency,
+                sq_norms,
+                medoid_dev,
+                jnp.asarray(wave_pad),   # exclude self
+                beam_width=beam_width,
+                # E>1 converges in ~E x fewer hops via the while_loop's
+                # early exit; the cap must NOT shrink with E or hard
+                # (uniform) distributions lose candidate quality
+                max_iters=max_iters,
+                metric=metric,
+                expansions=expansions,
+                precision="default",  # builder traversal: bf16 MXU path
+                # see track comment above: without V's early expansions
+                # the alpha rule never creates long-range edges
+                # (recall@10 collapsed 0.99 -> 0.28 at 50k -> 1M)
+                track_visited=track,
+            )
+        if profile:
+            jax.block_until_ready(beam_ids)
+            t1 = time.time()
         # candidate pool: visited-set ++ beam ++ current neighbors of p
         cur = adjacency[wave_pad]                                   # [wb, R]
         cand_ids = jnp.concatenate([vlog_ids, beam_ids, cur], axis=1)
@@ -301,6 +359,9 @@ def _insert_waves(
             precision="default",
         )
         adjacency = adjacency.at[jnp.asarray(wave_pad[:w])].set(new_nbrs[:w])
+        if profile:
+            jax.block_until_ready(adjacency)
+            t2 = time.time()
 
         # --- reverse edges ---
         nb_host = np.asarray(new_nbrs[:w])
@@ -308,15 +369,38 @@ def _insert_waves(
         dst = nb_host.reshape(-1)
         keep = dst != n
         src, dst = src[keep], dst[keep]
+        uniq_dst = None
         if dst.size:
-            adjacency = _apply_reverse_edges(
+            adjacency, uniq_dst = _apply_reverse_edges(
                 adjacency, vecs_dev, dst, src, n, r,
                 incoming_cap, alpha_dev, sentinel,
+            )
+        if use_fused:
+            # refresh packed records of every adjacency row this wave
+            # touched (inserted points + reverse-pruned targets)
+            rows = np.full(repack_cap, n, dtype=np.int32)
+            rows[:w] = wave[:w]
+            if uniq_dst is not None:
+                rows[w : w + uniq_dst.shape[0]] = uniq_dst
+            blocks, meta = repack_rows(
+                blocks, meta, q8, scale, nsq, adjacency,
+                jnp.asarray(rows),
+            )
+        if profile:
+            jax.block_until_ready(adjacency)
+            t3 = time.time()
+            print(
+                f"[wave {start // wave_size}] search {t1 - t0:.2f}s  "
+                f"prune+scatter {t2 - t1:.2f}s  reverse {t3 - t2:.2f}s  "
+                f"total {t3 - t0:.2f}s",
+                file=sys.stderr, flush=True,
             )
     return adjacency
 
 
-REVERSE_BLOCK = 4096  # fixed shape so the reverse-prune jit compiles once
+REVERSE_BLOCK = 16384  # fixed shape so the reverse-prune jit compiles once
+# (16384 over 4096: 4x fewer sequential dispatches per wave — the
+# reverse phase is launch-bound, ~16ms/block at 1M regardless of size)
 
 
 @functools.partial(jax.jit, static_argnames=("degree",), donate_argnums=(0,))
@@ -354,10 +438,11 @@ def _apply_reverse_edges(
     incoming_cap: int,
     alpha_dev: jnp.ndarray,
     sentinel: jnp.ndarray,
-) -> jnp.ndarray:
+) -> Tuple[jnp.ndarray, np.ndarray]:
     """For each edge p->q of the wave, add the reverse candidate p to
     N(q): group by q host-side (one integer sort), cap incoming per q,
-    then fixed-shape blocks of batched robust prune on device."""
+    then fixed-shape blocks of batched robust prune on device.
+    Returns (adjacency, uniq updated-row ids [A] int32)."""
     order = np.argsort(dst, kind="stable")
     dst_s, src_s = dst[order], src[order]
     uniq, starts = np.unique(dst_s, return_index=True)
@@ -385,4 +470,4 @@ def _apply_reverse_edges(
             adjacency, vecs_dev, jnp.asarray(block_u), jnp.asarray(block_i),
             alpha_dev, sentinel, r,
         )
-    return adjacency
+    return adjacency, uniq
