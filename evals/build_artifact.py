@@ -22,6 +22,7 @@ R = int(os.environ.get("ART_R", 48))
 L = int(os.environ.get("ART_L", 80))
 CAP = int(os.environ.get("ART_CAP", 16))
 WAVE = int(os.environ.get("ART_WAVE", 8192))
+PASSES = int(os.environ.get("ART_PASSES", 2))
 OUT = os.environ.get(
     "ART_OUT",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -57,7 +58,7 @@ def main():
     t0 = time.time()
     adjacency, medoid = build_vamana(
         corpus, graph_degree=R, complexity=L, alpha=1.2, metric="l2",
-        wave_size=WAVE, incoming_cap=CAP, verbose=True,
+        wave_size=WAVE, incoming_cap=CAP, passes=PASSES, verbose=True,
     )
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")

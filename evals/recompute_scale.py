@@ -1,0 +1,99 @@
+"""Config-3 at scale: pruned-index recompute traversal with a REAL
+768-d bert-base-sized encoder on the chip (VERDICT #8).
+
+The encoder is bert-base architecture (12 layers, 768 hidden, 110M
+params) with randomly initialized weights — this environment has no
+network egress to pull real checkpoints, and the measured quantities
+(traversal QPS, recall vs the same encoder's own embedding space,
+memory ratio) are weight-independent: the compute and the geometry of
+"re-embed exactly what you stored" are identical. Reference semantics:
+`/root/reference/src/index/recompute.rs:86-106` (re-embed over HTTP,
+host-side brute force) — here the encoder runs inside the traversal
+loop on the TPU.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python evals/recompute_scale.py
+Env:  RS_N (docs, default 100_000), RS_T (seq len, default 48)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(_ROOT, ".jax_cache")
+)
+
+N = int(os.environ.get("RS_N", 100_000))
+T = int(os.environ.get("RS_T", 48))
+NQ = 256
+BEAM = 32
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    from leann_tpu.models.bert import BertConfig, BertEncoder
+    from leann_tpu.ops.beam import RecomputeBeamEngine
+    from leann_tpu.ops.distance import exact_topk
+    from leann_tpu.ops.vamana import build_vamana
+
+    enc = BertEncoder(config=BertConfig())  # bert-base geometry
+    texts = [
+        f"passage {i} about subject {i % 911} topic {i % 101} "
+        f"facet {i % 37} keyword{i % 7} detail {i}"
+        for i in range(N)
+    ]
+
+    t0 = time.time()
+    vectors = enc.embed(texts, batch_size=512)
+    embed_s = time.time() - t0
+    log(f"embed {N} docs (768d, 12L, T={T}): {embed_s:.1f}s "
+        f"({N / embed_s:.0f} docs/s)")
+
+    tok, mask = enc.tokenize_corpus(texts, max_length=T)
+
+    t0 = time.time()
+    adjacency, medoid = build_vamana(
+        vectors, graph_degree=32, complexity=48, metric="ip",
+        wave_size=8192,
+    )
+    log(f"graph build: {time.time() - t0:.1f}s")
+
+    rng = np.random.default_rng(7)
+    q_ids = rng.integers(0, N, NQ)
+    queries = vectors[q_ids]
+    _, oracle = exact_topk(queries, vectors, 10, metric="ip")
+
+    engine = RecomputeBeamEngine(tok, mask, adjacency, medoid, enc,
+                                 metric="ip")
+    idx, _ = engine.search(queries, k=10, beam_width=BEAM)  # compile
+    t0 = time.time()
+    idx, _ = engine.search(queries + 0, k=10, beam_width=BEAM)
+    lat = time.time() - t0
+    hits = sum(
+        len(set(idx[i].tolist()) & set(oracle[i].tolist()))
+        for i in range(NQ)
+    )
+    rec = hits / (NQ * 10)
+
+    stored_mb = vectors.nbytes / 2**20
+    pruned_mb = (tok.nbytes + 4 * N + adjacency.nbytes) / 2**20
+    log(
+        f"recompute search: recall@10={rec:.4f}  "
+        f"qps={NQ / lat:.1f} (batch {NQ}, beam {BEAM})  "
+        f"stored={stored_mb:.0f}MB pruned={pruned_mb:.0f}MB "
+        f"ratio={pruned_mb / stored_mb:.3f} "
+        f"({stored_mb / pruned_mb:.1f}x smaller)"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -156,7 +156,7 @@ def repack_rows(
 @functools.partial(
     jax.jit,
     static_argnames=("r", "beam_width", "max_iters", "metric",
-                     "expansions", "track_visited", "qb"),
+                     "expansions", "track_visited", "qb", "interpret"),
 )
 def fused_wave_search(
     queries: jnp.ndarray,    # [B, D] f32, B % qb == 0
@@ -173,6 +173,7 @@ def fused_wave_search(
     expansions: int = 2,
     track_visited: int = 160,
     qb: int = 16,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Graph-builder wave search on the fused kernel: medoid entry,
     visited-set logging. Returns (beam_ids [B, L], vlog_ids [B, VT])."""
@@ -190,6 +191,7 @@ def fused_wave_search(
         queries, blocks, meta, seed_ids, seed_sc[:, None], exclude,
         r=r, beam_width=beam_width, max_iters=max_iters, metric=metric,
         expansions=expansions, qb=qb, track_visited=track_visited,
+        interpret=interpret,
     )
     return beam_ids, vlog[:, :track_visited]
 

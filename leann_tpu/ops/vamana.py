@@ -269,6 +269,7 @@ def _insert_waves(
     # dims, R <= 128, e <= 2, and HBM for the int8 inline blocks
     # ((N+1)*R*D bytes + 1.5KB/node meta; 1M R=48 D=128 = 7.6GB).
     choice = os.environ.get("LEANN_BUILD_ENGINE", "auto")
+    fused_interpret = False
     if choice == "auto":
         from leann_tpu.ops.pallas_kernels import pallas_available
 
@@ -280,6 +281,8 @@ def _insert_waves(
             and expansions <= 2
             and blocks_gb < 9.0
         )
+    elif choice == "fused-interpret":  # hermetic CPU tests
+        use_fused, fused_interpret = True, True
     else:
         use_fused = choice == "fused"
 
@@ -320,7 +323,7 @@ def _insert_waves(
                 medoid_dev, jnp.asarray(wave_pad),
                 r=r, beam_width=beam_width, max_iters=max_iters,
                 metric=metric, expansions=expansions,
-                track_visited=track,
+                track_visited=track, interpret=fused_interpret,
             )
         else:
             beam_ids, _, vlog_ids, _ = beam_search_batch(

@@ -103,6 +103,74 @@ def test_fused_engine_recall_interpret(metric):
     assert (np.diff(sc, axis=1) <= 1e-5).all()
 
 
+def test_fused_visited_log_interpret():
+    """track_visited returns the expanded-node log (the Vamana visited
+    set): first entry is the best seed, ids are valid, and the top beam
+    results of a converged search were expanded."""
+    from leann_tpu.ops.fused_beam import fused_beam_search, quantize_corpus
+
+    n, d, r = 800, 128, 16
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=32, metric="l2", wave_size=256
+    )
+    vecs1 = np.concatenate([vecs, np.zeros((1, d), np.float32)])
+    adj1 = np.concatenate([adj, np.full((1, r), n, np.int32)])
+    blocks, meta = pack_fused(jnp.asarray(vecs1), jnp.asarray(adj1))
+
+    b, L = 8, 32
+    rng = np.random.default_rng(3)
+    q = vecs[rng.integers(0, n, b)].astype(np.float32)
+    nsq = (vecs1 ** 2).sum(1).astype(np.float32)
+    seed_sc = 2.0 * q @ vecs1[medoid] - nsq[medoid]
+    ids, sc, vlog = fused_beam_search(
+        jnp.asarray(q), blocks, meta,
+        jnp.full((b, 1), medoid, jnp.int32), jnp.asarray(seed_sc)[:, None],
+        jnp.full((b,), -1, jnp.int32),
+        r=r, beam_width=L, max_iters=80, metric="l2",
+        expansions=2, qb=8, ring_size=256, track_visited=64,
+        interpret=True,
+    )
+    vlog = np.asarray(vlog)
+    assert vlog.shape == (b, 128)  # rounded up to lane multiple
+    assert ((vlog >= 0) & (vlog <= n)).all()
+    # the first expanded node is the (only) seed
+    np.testing.assert_array_equal(vlog[:, 0], np.full(b, medoid))
+    # a converged search expanded its top results
+    ids = np.asarray(ids)
+    for i in range(b):
+        assert ids[i, 0] in set(vlog[i].tolist())
+
+
+def test_fused_build_path_parity_interpret(monkeypatch):
+    """LEANN_BUILD_ENGINE=fused-interpret builds through the kernel on
+    CPU; graph quality matches the inline-built graph."""
+    from leann_tpu.ops.beam import BeamSearchEngine
+
+    n, d, r = 500, 128, 12
+    vecs = _corpus(n, d)
+    rng = np.random.default_rng(5)
+    q = vecs[rng.integers(0, n, 16)] + rng.standard_normal(
+        (16, d)).astype(np.float32) * 0.05
+    _, oracle = exact_topk(q, vecs, 10, metric="l2")
+
+    recalls = {}
+    for engine in ("fused-interpret", "inline"):
+        monkeypatch.setenv("LEANN_BUILD_ENGINE", engine)
+        adj, medoid = build_vamana(
+            vecs, graph_degree=r, complexity=24, metric="l2",
+            wave_size=128,
+        )
+        eng = BeamSearchEngine(vecs, adj, medoid, metric="l2")
+        idx, _ = eng.search(q, k=10, beam_width=32)
+        recalls[engine] = np.mean([
+            len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+            for i in range(len(q))
+        ])
+    assert recalls["fused-interpret"] >= 0.85, recalls
+    assert recalls["fused-interpret"] >= recalls["inline"] - 0.1, recalls
+
+
 def test_fused_engine_excludes_and_odd_batch():
     n, d, r = 600, 128, 16
     vecs = _corpus(n, d)
