@@ -79,6 +79,28 @@ def config0(scale, rng):
          qps=round(qps, 1), build_s=round(build_s, 1),
          index_mb=round(x.nbytes / 2**20, 1))
 
+    # graph engine at 768-d — the apples-to-apples row vs the reference
+    # default (HNSW M=32 efC=64, src/cli/build.rs:77-83)
+    from leann_tpu.backend import GraphSearcher
+    from leann_tpu.ops.vamana import build_vamana
+    from leann_tpu.store.graphfile import GraphFile
+
+    xn = x / (np.linalg.norm(x, axis=1, keepdims=True) + 1e-12)
+    qn = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+    t0 = time.time()
+    adjacency, medoid = build_vamana(
+        xn, graph_degree=32, complexity=64, metric="ip",
+        wave_size=min(8192, max(256, n // 8)),
+    )
+    g_build = time.time() - t0
+    gs = GraphSearcher(xn, GraphFile(adjacency, medoid), metric="ip")
+    idx, _ = gs.search(qn, k=10, complexity=64)
+    rec = recall_at(idx, oracle, 10)
+    qps = measure_qps(lambda qq: gs.search(qq, k=10, complexity=64), qn)
+    emit(0, n=n, d=d, backend="vamana", beam=64, recall10=round(rec, 4),
+         qps=round(qps, 1), build_s=round(g_build, 1),
+         index_mb=round((x.nbytes + adjacency.nbytes) / 2**20, 1))
+
 
 def config1(scale, rng):
     """SIFT-style 128-d L2: vamana beam sweep + ivf."""
