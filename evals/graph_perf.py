@@ -90,12 +90,18 @@ def main():
             len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
             for i in range(RECALL_Q)
         ]))
-        # steady-state QPS at batch B
+        # steady-state QPS at batch B (distinct per-rep batches: the
+        # relay can memoize repeated identical dispatches)
         eng.search(perfq[:B], k=10, beam_width=beam)  # warm/compile
         reps = 5
+        rep_batches = [
+            np.ascontiguousarray(np.roll(perfq[:B], i, axis=0)
+                                 + np.float32(i) * 0.001)
+            for i in range(reps)
+        ]
         t0 = time.time()
-        for _ in range(reps):
-            eng.search(perfq[:B], k=10, beam_width=beam)
+        for rb in rep_batches:
+            eng.search(rb, k=10, beam_width=beam)
         dt = (time.time() - t0) / reps
         qps = B / dt
         row = {"engine": "inline-" + eng.block_mode, "beam": beam,

@@ -91,6 +91,7 @@ class GraphSearcher:
                 medoid=graph.medoid,
                 metric=metric,
                 expansions=2,
+                qb=int(os.environ.get("LEANN_FUSED_QB", 16)),
             )
         else:
             from leann_tpu.ops.beam import BeamSearchEngine

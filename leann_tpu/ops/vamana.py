@@ -173,15 +173,19 @@ def build_vamana(
     max_iters = 2 * L + 16  # scaled down by expansions inside _insert_waves
 
     alphas = [1.0] * (passes - 1) + [alpha] if passes > 1 else [alpha]
+    # early passes build a scaffold the final full-L pass refines: a
+    # narrower pass-1 beam cuts wave-search + prune-pool cost ~30% with
+    # no measurable recall change (0.9990 -> 0.9989 @ beam 32, 100k)
+    beams = [max(r + 8, (7 * L) // 10)] * (len(alphas) - 1) + [L]
 
-    for pass_i, pass_alpha in enumerate(alphas):
+    for pass_i, (pass_alpha, pass_L) in enumerate(zip(alphas, beams)):
         order = rng.permutation(n)
         adjacency = _insert_waves(
             vectors, vecs_dev, sq_norms, adjacency, medoid_dev, order,
-            beam_width=L, graph_degree=r, alpha=pass_alpha,
+            beam_width=pass_L, graph_degree=r, alpha=pass_alpha,
             metric=search_metric, wave_size=wave_size,
             incoming_cap=incoming_cap, max_iters=max_iters,
-            expansions=expansions,
+            expansions=expansions, verbose=verbose,
         )
         if verbose:
             print(f"[vamana] pass {pass_i + 1}/{len(alphas)} done (alpha={pass_alpha})")
@@ -251,12 +255,15 @@ def _insert_waves(
     incoming_cap: int,
     max_iters: int,
     expansions: int = 2,
+    verbose: bool = False,
 ) -> jnp.ndarray:
     import os
     import sys
     import time
 
     profile = bool(os.environ.get("LEANN_BUILD_PROFILE"))
+    n_waves = -(-len(order) // wave_size)
+    pass_t0 = time.time()
     n = vecs_dev.shape[0] - 1
     d = vecs_dev.shape[1]
     r = graph_degree
@@ -280,6 +287,9 @@ def _insert_waves(
             and r <= 128
             and expansions <= 2
             and blocks_gb < 9.0
+            # packing the int8 inline blocks costs ~N; only worth it for
+            # bulk insertion (full builds / big update batches)
+            and len(order) >= 16384
         )
     elif choice == "fused-interpret":  # hermetic CPU tests
         use_fused, fused_interpret = True, True
@@ -398,6 +408,16 @@ def _insert_waves(
                 f"total {t3 - t0:.2f}s",
                 file=sys.stderr, flush=True,
             )
+        elif verbose:
+            wave_i = start // wave_size + 1
+            if wave_i % 50 == 0 or wave_i == n_waves:
+                el = time.time() - pass_t0
+                print(
+                    f"[vamana] wave {wave_i}/{n_waves}  "
+                    f"{el:.0f}s elapsed  "
+                    f"eta {el / wave_i * (n_waves - wave_i):.0f}s",
+                    file=sys.stderr, flush=True,
+                )
     return adjacency
 
 
