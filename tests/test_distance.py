@@ -131,3 +131,20 @@ def test_exact_engine_device_resident():
         idx_e, scores_e = eng.search(queries, k=10, exact_scan=True)
         s_o, _ = exact_topk(queries, vectors, 10, metric=metric)
         np.testing.assert_allclose(scores_e, s_o, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_engine_search_device_matches_host_path():
+    """search_device (single-dispatch, device-in/device-out) returns the
+    same results as the host-facing search()."""
+    import jax.numpy as jnp
+
+    from leann_tpu.ops.distance import ExactEngine
+
+    rng = np.random.default_rng(11)
+    vectors = rng.standard_normal((5000, 64)).astype(np.float32)
+    queries = rng.standard_normal((16, 64)).astype(np.float32)
+    eng = ExactEngine(vectors, metric="l2")
+    idx_h, sc_h = eng.search(queries, k=10)
+    sc_d, idx_d = eng.search_device(jnp.asarray(queries), k=10)
+    np.testing.assert_array_equal(idx_h, np.asarray(idx_d))
+    np.testing.assert_allclose(sc_h, np.asarray(sc_d), rtol=1e-6)
