@@ -77,8 +77,13 @@ class GraphSearcher:
         if choice == "auto":
             from leann_tpu.ops.pallas_kernels import pallas_available
 
+            # packed int8 inline blocks need (N+1)*R*D bytes of HBM —
+            # beyond ~9GB (one v5e minus working set) serve via the XLA
+            # inline engine (flat [N, D] gathers) instead
+            blocks_gb = (vectors.shape[0] + 1) * r * d / 1e9
             use_fused = (
                 pallas_available() and d % 128 == 0 and r <= 128
+                and blocks_gb < 9.0
             )
         else:
             use_fused = choice == "fused"
