@@ -92,6 +92,17 @@ def main() -> None:
     queries = pool[N : N + RECALL_QUERIES]
     qbatch = pool[N + RECALL_QUERIES :]
 
+    # recall oracle BEFORE the engine exists: at 10M the engine + a
+    # device-resident oracle together exhaust HBM; the functional
+    # two-stage oracle frees its corpus copies when it returns
+    if BACKEND != "flat":
+        from leann_tpu.ops.distance import exact_topk
+
+        log("computing oracle ...")
+        _, oracle = exact_topk(
+            queries, corpus, TOPK, metric="l2", two_stage=True
+        )
+
     t0 = time.time()
     if BACKEND == "flat":
         from leann_tpu.ops.distance import ExactEngine
@@ -133,11 +144,10 @@ def main() -> None:
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
 
-    # recall oracle: the device-resident two-stage exact engine (measured
-    # 0.9998-1.0 overlap with the f32 scan at 1M; the f32 oracle compile
-    # alone costs ~4 min through the remote-compile service)
-    oracle_engine = engine if BACKEND == "flat" else ExactEngine(corpus, metric="l2")
-    oracle, _ = oracle_engine.search(queries, k=TOPK)
+    # flat: the engine IS the two-stage oracle (0.9998-1.0 overlap with
+    # the f32 scan measured at 1M)
+    if BACKEND == "flat":
+        oracle, _ = engine.search(queries, k=TOPK)
     idx, _ = search(queries, TOPK)
     recall = float(np.mean([
         len(set(a.tolist()) & set(b.tolist())) / TOPK
