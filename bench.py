@@ -163,18 +163,18 @@ def main() -> None:
         np.ascontiguousarray(np.roll(qbatch, i, axis=0) + np.float32(i))
         for i in range(reps)
     ]
-    if BACKEND == "flat":
-        # pipelined serving: issue every batch as a device-in/device-out
-        # dispatch, then drain — host<->device transfers overlap the scan
-        # (the per-dispatch relay latency otherwise dominates: the bf16
-        # scan itself is ~2ms/batch of MXU time at 1M x 128)
-        import jax.numpy as jnp
-
-        dev_batches = [jnp.asarray(rb) for rb in rep_batches]
+    if BACKEND in ("flat", "vamana"):
+        # pipelined serving: issue every batch as a device-out dispatch,
+        # then drain — host<->device transfers overlap the device work
+        # (per-dispatch relay latency otherwise serializes with compute)
+        dev_kwargs = {} if BACKEND == "flat" else {"beam_width": SEARCH_BEAM}
         t0 = time.time()
-        outs = [engine.search_device(db, TOPK) for db in dev_batches]
-        for sc, ix in outs:
-            np.asarray(ix)
+        outs = [
+            engine.search_device(rb, TOPK, **dev_kwargs)
+            for rb in rep_batches
+        ]
+        for out in outs:
+            np.asarray(out[0])
         qps = reps * QUERY_BATCH / (time.time() - t0)
     else:
         t0 = time.time()

@@ -672,6 +672,22 @@ class FusedBeamEngine:
 
     def search(self, queries, k=10, beam_width=64, exclude=None,
                max_iters=None):
+        b = np.asarray(queries).shape[0] if np.asarray(queries).ndim > 1 else 1
+        ids, scores = self.search_device(
+            queries, k=k, beam_width=beam_width, exclude=exclude,
+            max_iters=max_iters,
+        )
+        idx = np.asarray(ids[:b, :])
+        sc = np.asarray(scores[:b, :])
+        idx = np.where(idx == self.n, -1, idx)
+        return idx, sc
+
+    def search_device(self, queries, k=10, beam_width=64, exclude=None,
+                      max_iters=None):
+        """Device-out search (no host sync): returns (ids, scores) as
+        device arrays of shape [B_padded, k] — the building block for
+        pipelined serving (issue batch i+1 before collecting batch i so
+        transfers overlap the kernel)."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -692,10 +708,7 @@ class FusedBeamEngine:
             self.r, beam_width, mi, self.metric, self.expansions,
             self.qb, self.ring_size, n_entries, self.interpret,
         )
-        idx = np.asarray(ids[:b, :k])
-        sc = np.asarray(scores[:b, :k])
-        idx = np.where(idx == self.n, -1, idx)
-        return idx, sc
+        return ids[:, :k], scores[:, :k]
 
 
 @functools.partial(
