@@ -1,8 +1,9 @@
 """Fused whole-traversal Pallas kernel: correctness in interpret mode.
 
-Measured on TPU v5e (1M x 128, R=48, evals/graph_perf.py):
-  beam 32: recall@10 0.9755 @ 10,014 QPS   beam 64: 0.9941 @ 10,878 QPS
-  (XLA inline path at beam 64: 3,286 QPS -> the kernel is 3.3x faster)
+Measured on TPU v5e (1M x 128, R=48, evals/graph_perf.py + bench.py):
+  beam 64: recall@10 0.9942 @ 10,137 QPS (sync) / 18,851 QPS (pipelined)
+  beam 32: recall@10 0.9766 @  8,200 QPS (sync)
+  (XLA inline path at beam 64: 3,286 QPS)
 """
 
 import numpy as np
