@@ -163,24 +163,22 @@ def main() -> None:
         np.ascontiguousarray(np.roll(qbatch, i, axis=0) + np.float32(i))
         for i in range(reps)
     ]
-    if BACKEND in ("flat", "vamana"):
-        # pipelined serving: issue every batch as a device-out dispatch,
-        # then drain — host<->device transfers overlap the device work
-        # (per-dispatch relay latency otherwise serializes with compute)
-        dev_kwargs = {} if BACKEND == "flat" else {"beam_width": SEARCH_BEAM}
-        t0 = time.time()
-        outs = [
-            engine.search_device(rb, TOPK, **dev_kwargs)
-            for rb in rep_batches
-        ]
-        for out in outs:
-            np.asarray(out[0])
-        qps = reps * QUERY_BATCH / (time.time() - t0)
-    else:
-        t0 = time.time()
-        for rb in rep_batches:
-            search(rb, TOPK)
-        qps = reps * QUERY_BATCH / (time.time() - t0)
+    # pipelined serving: issue every batch as a device-out dispatch,
+    # then drain — host<->device transfers overlap the device work
+    # (per-dispatch relay latency otherwise serializes with compute)
+    dev_kwargs = {
+        "flat": {},
+        "ivf": {"nprobe": NPROBE},
+        "vamana": {"beam_width": SEARCH_BEAM},
+    }[BACKEND]
+    t0 = time.time()
+    outs = [
+        engine.search_device(rb, TOPK, **dev_kwargs)
+        for rb in rep_batches
+    ]
+    for out in outs:
+        np.asarray(out[0])
+    qps = reps * QUERY_BATCH / (time.time() - t0)
     log(f"qps: {qps:.0f} (batch {QUERY_BATCH}, {knobs})")
 
     print(json.dumps({

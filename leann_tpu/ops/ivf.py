@@ -263,6 +263,18 @@ class IvfEngine:
         resident corpus — bf16-final scores cost ~0.06 recall@10 to
         near-tie reordering (measured at 1M x 128); the rescore recovers
         it for ~zero cost."""
+        ids, scores = self.search_device(
+            queries, k=k, nprobe=nprobe, rescore_factor=rescore_factor
+        )
+        return np.asarray(ids), np.asarray(scores)
+
+    def search_device(
+        self, queries, k: int = 10, nprobe: int = 32,
+        rescore_factor: int = 4,
+    ):
+        """Device-out search (no host sync): returns (ids, scores) as
+        device arrays — lets serving layers pipeline batches so
+        host<->device transfers overlap the bucket scans."""
         q = np.asarray(queries, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -281,7 +293,7 @@ class IvfEngine:
         scores, ids = _rescore_topk(
             jnp.asarray(q), self._corpus(), cand, k, self.metric
         )
-        return np.asarray(ids), np.asarray(scores)
+        return ids, scores
 
     def _corpus(self) -> jnp.ndarray:
         return self._corpus_dev
