@@ -171,7 +171,12 @@ class ShardedSearcher:
         self.n_shards = mesh.shape["shard"]
         self.backend = resolve_backend(backend)
         vectors = np.asarray(vectors)
-        art = shardfile.load_shards(base, self.n_shards) if base else None
+        art = (
+            shardfile.load_shards(
+                base, self.n_shards, n=len(vectors), metric=metric
+            )
+            if base else None
+        )
 
         if self.backend == "vamana":
             if art is not None and art["kind"] == "graph":

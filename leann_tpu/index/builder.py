@@ -222,6 +222,11 @@ class StreamingIndexBuilder:
             metric=self.metric,
         )
         meta.save(meta_path(self.base))
+        # a rebuild at the same base invalidates any sharded-serving
+        # sidecar built for the previous corpus (store/shardfile.py)
+        from leann_tpu.store import shardfile
+
+        shardfile.invalidate_shards(self.base)
         if os.path.exists(ckpt_path(self.base)):
             os.remove(ckpt_path(self.base))
         return meta

@@ -264,7 +264,7 @@ class ExactEngine:
                 self.chunk_size,
             )
         else:
-            scores, idx = self.search_device(qd, k, rescore_factor)
+            idx, scores = self.search_device(qd, k, rescore_factor)
         return np.asarray(idx), np.asarray(scores)
 
     def search_device(
@@ -273,13 +273,15 @@ class ExactEngine:
         """Device-in/device-out two-stage search (one jit dispatch, no
         host sync) — the building block for pipelined serving: issue
         batch i+1 before collecting batch i and the host<->device
-        transfers overlap the scan."""
+        transfers overlap the scan. Returns (ids, scores), the common
+        order across all engines (IvfEngine/FusedBeamEngine match)."""
         k = min(k, self.n)
         c = min(max(rescore_factor * k, k), self.n)
-        return _two_stage_jit(
+        scores, idx = _two_stage_jit(
             queries, self.vectors_bf16, self.vectors, jnp.int32(self.n),
             k, c, self.metric, self.chunk_size,
         )
+        return idx, scores
 
 
 def exact_topk(

@@ -40,7 +40,12 @@ class _Pending:
 def _options_key(o: SearchOptions) -> Tuple:
     filt = getattr(o.filter, "source", None) if o.filter is not None else None
     if filt is None and o.filter is not None:
-        filt = repr(o.filter)
+        # canonical fallback for programmatic filters without DSL source:
+        # the node tree is plain dataclasses (Condition/And/Or), whose
+        # reprs are deterministic value reprs — unlike the MetadataFilter
+        # wrapper's default object repr (memory address), which would
+        # make identical filters never share a batch group
+        filt = repr(getattr(o.filter, "node", o.filter.source))
     key = (o.top_k, o.complexity, o.hybrid, o.hybrid_alpha, filt, o.expand)
     if o.hybrid:
         key = key + (o.query_text,)

@@ -157,12 +157,41 @@ def make_handler(state: ServerState, cors: bool):
 
             try:
                 if queries is not None:
+                    hybrid = bool(req.get("hybrid", False))
+                    alpha = float(req.get("hybrid_alpha", 0.7))
+                    if hybrid:
+                        # hybrid needs per-query BM25 text: route each
+                        # query through the standard path with its own
+                        # query_text (coalescing is lost, correctness
+                        # isn't — hybrid was silently ignored before)
+                        per_query = [
+                            state.batcher.submit(
+                                qt,
+                                SearchOptions(
+                                    top_k=top_k,
+                                    complexity=complexity,
+                                    filter=filt,
+                                    hybrid=True,
+                                    hybrid_alpha=alpha,
+                                    query_text=qt,
+                                ),
+                            )
+                            for qt in queries
+                        ]
+                        took_ms = int((time.time() - t0) * 1000)
+                        self._send(200, {
+                            "results_per_query": [
+                                fmt(rows) for rows in per_query
+                            ],
+                            "took_ms": took_ms,
+                        })
+                        return
                     opts = SearchOptions(
                         top_k=top_k,
                         complexity=complexity,
                         filter=filt,
                         hybrid=False,
-                        hybrid_alpha=float(req.get("hybrid_alpha", 0.7)),
+                        hybrid_alpha=alpha,
                     )
                     per_query = state.batcher.submit_many(queries, opts)
                     took_ms = int((time.time() - t0) * 1000)

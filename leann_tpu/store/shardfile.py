@@ -80,14 +80,33 @@ def save_ivf_shards(
     return path
 
 
-def load_shards(base: str, n_shards: int) -> Optional[dict]:
+def invalidate_shards(base: str) -> None:
+    """Delete the per-shard sidecar (called when the index is rebuilt:
+    a stale sidecar at the same base would silently serve the old
+    corpus's graph/k-means)."""
+    path = shards_path(base)
+    if os.path.exists(path):
+        os.remove(path)
+
+
+def load_shards(
+    base: str,
+    n_shards: int,
+    n: Optional[int] = None,
+    metric: Optional[str] = None,
+) -> Optional[dict]:
     """Returns the artifact dict when present AND built for `n_shards`
-    shards; None otherwise (caller rebuilds)."""
+    shards (and, when given, the same corpus size `n` and `metric`);
+    None otherwise (caller rebuilds)."""
     path = shards_path(base)
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
         if int(z["n_shards"]) != int(n_shards):
+            return None
+        if n is not None and int(z["n"]) != int(n):
+            return None
+        if metric is not None and str(z["metric"]) != str(metric):
             return None
         out = {k: z[k] for k in z.files}
     out["kind"] = str(out["kind"])

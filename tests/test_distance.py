@@ -145,6 +145,6 @@ def test_exact_engine_search_device_matches_host_path():
     queries = rng.standard_normal((16, 64)).astype(np.float32)
     eng = ExactEngine(vectors, metric="l2")
     idx_h, sc_h = eng.search(queries, k=10)
-    sc_d, idx_d = eng.search_device(jnp.asarray(queries), k=10)
+    idx_d, sc_d = eng.search_device(jnp.asarray(queries), k=10)
     np.testing.assert_array_equal(idx_h, np.asarray(idx_d))
     np.testing.assert_allclose(sc_h, np.asarray(sc_d), rtol=1e-6)
