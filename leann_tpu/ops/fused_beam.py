@@ -710,6 +710,51 @@ class FusedBeamEngine:
         )
         return ids[:, :k], scores[:, :k]
 
+    def search_many_device(self, qs, k=10, beam_width=64, max_iters=None):
+        """[M, B, D] device-resident query batches -> (ids, scores) each
+        [M, B, k] in ONE dispatch (see _fused_search_many_jit). B must be
+        a multiple of qb."""
+        m, b, d = qs.shape
+        if b % self.qb:
+            raise ValueError(f"B={b} must be a multiple of qb={self.qb}")
+        exc = jnp.full((b,), -1, jnp.int32)
+        n_entries = min(16, max(1, beam_width // 2))
+        mi = max_iters or (4 * beam_width) // self.expansions + 32
+        ids, scores = _fused_search_many_jit(
+            qs, self.vectors, self.sq_norms, self.blocks, self.meta,
+            self.seed_ids, self.seed_vecs, exc, self.r, beam_width, mi,
+            self.metric, self.expansions, self.qb, self.ring_size,
+            n_entries, self.interpret,
+        )
+        return ids[:, :, :k], scores[:, :, :k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r", "beam_width", "max_iters", "metric",
+                     "expansions", "qb", "ring_size", "n_entries",
+                     "interpret"),
+)
+def _fused_search_many_jit(
+    qs, corpus, corpus_nsq, blocks, meta, seed_ids, seed_vecs,
+    exclude, r, beam_width, max_iters, metric, expansions, qb,
+    ring_size, n_entries, interpret,
+):
+    """M query batches [M, B, D] through the fused traversal in ONE
+    dispatch (lax.scan over batches) — per-dispatch relay overhead
+    amortizes as 1/M so large-M wall time is device time."""
+
+    def body(_, q):
+        ids, scores = _fused_search_jit(
+            q, corpus, corpus_nsq, blocks, meta, seed_ids, seed_vecs,
+            exclude, r, beam_width, max_iters, metric, expansions, qb,
+            ring_size, n_entries, interpret,
+        )
+        return None, (ids, scores)
+
+    _, (ids, scores) = jax.lax.scan(body, None, qs)
+    return ids, scores
+
 
 @functools.partial(
     jax.jit,

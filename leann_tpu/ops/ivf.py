@@ -295,8 +295,46 @@ class IvfEngine:
         )
         return ids, scores
 
+    def search_many_device(
+        self, qs: jnp.ndarray, k: int = 10, nprobe: int = 32,
+        rescore_factor: int = 4,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """[M, B, D] device-resident query batches -> (ids, scores) each
+        [M, B, k], in ONE dispatch (lax.scan over batches): per-dispatch
+        relay/host overhead amortizes as 1/M, so large-M wall time is
+        device time."""
+        nprobe = min(nprobe, self.bucket_cent.shape[0])
+        k = min(k, self.n)
+        c = min(max(rescore_factor * k, k), self.n)
+        return _ivf_search_many(
+            qs, self.bucket_cent, self.bucket_ids, self.bucket_vecs_bf16,
+            self.bucket_sq, self._corpus(), k=k, c=c, nprobe=nprobe,
+            metric=self.metric, sentinel=self.n,
+        )
+
     def _corpus(self) -> jnp.ndarray:
         return self._corpus_dev
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "c", "nprobe", "metric", "sentinel")
+)
+def _ivf_search_many(
+    qs, centroids, bucket_ids, bucket_vecs, bucket_sq, corpus,
+    k: int, c: int, nprobe: int, metric: str, sentinel: int,
+):
+    from leann_tpu.ops.distance import _rescore_topk
+
+    def body(_, q):
+        _, cand = ivf_search(
+            q, centroids, bucket_ids, bucket_vecs, bucket_sq,
+            k=c, nprobe=nprobe, metric=metric, sentinel=sentinel,
+        )
+        scores, ids = _rescore_topk(q, corpus, cand, k, metric)
+        return None, (ids, scores)
+
+    _, (ids, scores) = jax.lax.scan(body, None, qs)
+    return ids, scores
 
 
 @functools.partial(

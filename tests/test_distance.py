@@ -148,3 +148,25 @@ def test_exact_engine_search_device_matches_host_path():
     idx_d, sc_d = eng.search_device(jnp.asarray(queries), k=10)
     np.testing.assert_array_equal(idx_h, np.asarray(idx_d))
     np.testing.assert_allclose(sc_h, np.asarray(sc_d), rtol=1e-6)
+
+
+def test_exact_engine_search_many_device_matches_single():
+    """search_many_device ([M, B, D] in ONE dispatch) returns the same
+    results per batch as search_device — the honest device-time
+    measurement path (relay overhead amortizes as 1/M)."""
+    import jax.numpy as jnp
+
+    from leann_tpu.ops.distance import ExactEngine
+
+    rng = np.random.default_rng(12)
+    vectors = rng.standard_normal((5000, 64)).astype(np.float32)
+    qs = rng.standard_normal((3, 16, 64)).astype(np.float32)
+    eng = ExactEngine(vectors, metric="l2")
+    ids_m, sc_m = eng.search_many_device(jnp.asarray(qs), k=10)
+    assert ids_m.shape == (3, 16, 10) and sc_m.shape == (3, 16, 10)
+    for m in range(3):
+        ids_1, sc_1 = eng.search_device(jnp.asarray(qs[m]), k=10)
+        np.testing.assert_array_equal(np.asarray(ids_m[m]), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(sc_m[m]), np.asarray(sc_1), rtol=1e-6
+        )

@@ -188,3 +188,30 @@ def test_fused_engine_excludes_and_odd_batch():
     assert idx.shape == (3, 5)
     for i, e in enumerate(excl):
         assert e not in idx[i]
+
+
+def test_fused_search_many_device_matches_single_interpret():
+    """FusedBeamEngine.search_many_device ([M, B, D], one dispatch)
+    matches per-batch search_device output (interpret mode, CPU)."""
+    import jax.numpy as jnp
+
+    n, d, r = 1200, 128, 16
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=32, metric="l2", wave_size=512
+    )
+    eng = FusedBeamEngine(
+        vecs, adj, medoid, metric="l2", expansions=2, qb=8,
+        ring_size=256, interpret=True,
+    )
+    rng = np.random.default_rng(3)
+    qs = vecs[rng.integers(0, n, (2, 8))] + rng.standard_normal(
+        (2, 8, d)).astype(np.float32) * 0.05
+    ids_m, sc_m = eng.search_many_device(jnp.asarray(qs), k=10, beam_width=32)
+    assert ids_m.shape == (2, 8, 10)
+    for m in range(2):
+        ids_1, sc_1 = eng.search_device(qs[m], k=10, beam_width=32)
+        np.testing.assert_array_equal(np.asarray(ids_m[m]), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(sc_m[m]), np.asarray(sc_1), rtol=1e-5, atol=1e-5
+        )

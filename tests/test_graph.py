@@ -258,3 +258,24 @@ def test_inline_rescore_is_exact():
             v = x[idx[b, j]]
             expect = 2.0 * float(q[b] @ v) - float(v @ v)
             np.testing.assert_allclose(scores[b, j], expect, rtol=1e-4)
+
+
+def test_ivf_search_many_device_matches_single():
+    """IvfEngine.search_many_device ([M, B, D] in one dispatch) matches
+    per-batch search_device output."""
+    import jax.numpy as jnp
+
+    from leann_tpu.ops.ivf import IvfEngine
+
+    x = make_corpus(n=3000, d=32, seed=13, clusters=40)
+    eng = IvfEngine(x, n_clusters=64, metric="l2")
+    rng = np.random.default_rng(14)
+    qs = x[rng.integers(0, 3000, (3, 8))] + np.float32(0.01)
+    ids_m, sc_m = eng.search_many_device(jnp.asarray(qs), k=10, nprobe=16)
+    assert ids_m.shape == (3, 8, 10)
+    for m in range(3):
+        ids_1, sc_1 = eng.search_device(jnp.asarray(qs[m]), k=10, nprobe=16)
+        np.testing.assert_array_equal(np.asarray(ids_m[m]), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(sc_m[m]), np.asarray(sc_1), rtol=1e-5, atol=1e-5
+        )
