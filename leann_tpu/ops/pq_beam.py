@@ -191,32 +191,64 @@ def _make_pq_kernel(qb, e, r, m, ksub, bits, l, p2, v, max_iters,
 
         excl_rep = rep_rows(excl_ref[:])[:, 0:1]             # [QB*E, 1]
 
-        # per-(j)-tiled LUT rows, expansion-replicated: for subspace j,
-        # lut_tile_j[slot, i*ksub + c] = LUT[slot//e, j*ksub + c].
-        # Constant 0/1 tiling matmul T[ksub, r*ksub]: T[c, x] = x%ksub==c
+        # LANE LAYOUT (pltpu.repeat has TILE semantics — whole-array
+        # copies, lane x reads src[x % len] — NOT np.repeat):
+        #   spread[l] (l in [0, r)) = packed[l % lps], nibble l // lps
+        #     -> holds the code of neighbor i(l) = cpl*(l%lps) + l//lps
+        #   code_w[x] (x in [0, w)) = codes_lane[x % r], compared
+        #     against centroid c(x) = x // r (copy index)
+        # The permutation i(l) is folded into the constant contraction
+        # matrix s_mat (narrow-W path) or the final p_mat permutation
+        # matmul (wide-ksub path).
         lut_rep = rep_rows(lut_ref[:])                       # [QB*E, m*ksub]
-        t_col = jax.lax.broadcasted_iota(jnp.int32, (ksub, w), 1)
-        t_row = jax.lax.broadcasted_iota(jnp.int32, (ksub, w), 0)
-        t_mat = (t_col % ksub == t_row).astype(jnp.bfloat16)
-        lut_tiles = [
-            jnp.dot(
-                lut_rep[:, j * ksub : (j + 1) * ksub].astype(jnp.bfloat16),
-                t_mat, preferred_element_type=jnp.float32,
-            )
-            for j in range(m)
-        ]                                                    # m x [QB*E, W]
+        wide = ksub > 16
+        if not wide:
+            # W = r*ksub lanes: MXU one-hot contraction. Hoisted
+            # constants are small (W <= 128*16 = 2048 lanes).
+            t_col = jax.lax.broadcasted_iota(jnp.int32, (ksub, w), 1)
+            t_row = jax.lax.broadcasted_iota(jnp.int32, (ksub, w), 0)
+            # lut_tile_j[slot, x] = LUT[slot//e, j*ksub + x//r]
+            t_mat = (t_col // r == t_row).astype(jnp.bfloat16)
+            lut_tiles = [
+                jnp.dot(
+                    lut_rep[:, j * ksub : (j + 1) * ksub].astype(
+                        jnp.bfloat16),
+                    t_mat, preferred_element_type=jnp.float32,
+                )
+                for j in range(m)
+            ]                                                # m x [QB*E, W]
 
-        # constant fold matrix S[x, i_pad] = (x//ksub == i) for the
-        # score contraction [QB*E, W] @ [W, RP]
-        s_row = jax.lax.broadcasted_iota(jnp.int32, (w, rp), 0)
-        s_col = jax.lax.broadcasted_iota(jnp.int32, (w, rp), 1)
-        s_mat = (s_row // ksub == s_col).astype(jnp.bfloat16)
+            # S[x, i] = 1 iff lane x carries neighbor i's one-hot term:
+            # l = x % r, i(l) = cpl*(l % lps) + l // lps
+            s_row = jax.lax.broadcasted_iota(jnp.int32, (w, rp), 0)
+            s_col = jax.lax.broadcasted_iota(jnp.int32, (w, rp), 1)
+            s_l = s_row % r
+            s_mat = (
+                cpl * (s_l % lps) + s_l // lps == s_col
+            ).astype(jnp.bfloat16)
 
-        # one-hot compare pattern: lane x of the W-wide row corresponds
-        # to neighbor i = x//ksub, centroid c = x%ksub
-        oh_c = jax.lax.broadcasted_iota(jnp.int32, (qb * e, w), 1) % ksub
+            # centroid index per one-hot lane: c(x) = x // r
+            oh_c = jax.lax.broadcasted_iota(jnp.int32, (qb * e, w), 1) // r
+        else:
+            # wide-ksub (8-bit) path: a W = r*ksub one-hot would need
+            # ~12k lanes at R=48/ksub=256 (t_mat+lut_tiles+s_mat alone
+            # exceed the ~16MB VMEM budget), so the lookup runs as a 3D
+            # one-hot over SUBLANES — oh[s, c, l] = (codes[s,l] == c) —
+            # masked against LUT broadcast over lanes and reduced over
+            # the centroid (sublane) axis. VPU-shaped, no big constants.
+            # Lanes stay in spread order l; one [R, RP] 0/1 matmul
+            # (p_mat) maps scores back to neighbor positions at the end.
+            p_row = jax.lax.broadcasted_iota(jnp.int32, (r, rp), 0)
+            p_col = jax.lax.broadcasted_iota(jnp.int32, (r, rp), 1)
+            p_mat = (
+                cpl * (p_row % lps) + p_row // lps == p_col
+            ).astype(jnp.bfloat16)
+            c_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (qb * e, ksub, r), 1)
+
+        # nibble shift per spread lane: s(l) = l // lps
         nib_shift = (
-            jax.lax.broadcasted_iota(jnp.int32, (qb * e, r), 1) % cpl
+            jax.lax.broadcasted_iota(jnp.int32, (qb * e, r), 1) // lps
         ) * bits
 
         def hop(it, carry):
@@ -280,21 +312,39 @@ def _make_pq_kernel(qb, e, r, m, ksub, bits, l, p2, v, max_iters,
 
                 # ---- ADC scoring, accumulated per subspace
                 code_lanes = rec_scr[:, 1:, :].reshape(qb * e, planes * 128)
-                acc = jnp.zeros((qb * e, rp), jnp.float32)
-                for j in range(m):
-                    packed = code_lanes[:, j * lps : (j + 1) * lps]
-                    spread = pltpu.repeat(packed, cpl, axis=1)  # [QB*E, R]
-                    codes_j = (spread >> nib_shift) & mask_val
-                    # one-hot row [QB*E, W]: lane x hits when neighbor
-                    # x//ksub's code == x%ksub
-                    code_w = pltpu.repeat(codes_j, ksub, axis=1)
-                    oh = code_w == oh_c
-                    prod = jnp.where(oh, lut_tiles[j], 0.0)
-                    acc = acc + jnp.dot(
-                        prod.astype(jnp.bfloat16), s_mat,
+                if not wide:
+                    acc = jnp.zeros((qb * e, rp), jnp.float32)
+                    for j in range(m):
+                        packed = code_lanes[:, j * lps : (j + 1) * lps]
+                        spread = pltpu.repeat(packed, cpl, axis=1)
+                        codes_j = (spread >> nib_shift) & mask_val
+                        # one-hot row [QB*E, W]: lane x hits when
+                        # neighbor x%r's code == x//r
+                        code_w = pltpu.repeat(codes_j, ksub, axis=1)
+                        oh = code_w == oh_c
+                        prod = jnp.where(oh, lut_tiles[j], 0.0)
+                        acc = acc + jnp.dot(
+                            prod.astype(jnp.bfloat16), s_mat,
+                            preferred_element_type=jnp.float32,
+                        )
+                    cand_sc = acc                            # [QB*E, RP]
+                else:
+                    acc_l = jnp.zeros((qb * e, r), jnp.float32)
+                    for j in range(m):
+                        packed = code_lanes[:, j * lps : (j + 1) * lps]
+                        spread = pltpu.repeat(packed, cpl, axis=1)
+                        codes_j = (spread >> nib_shift) & mask_val
+                        oh = codes_j[:, None, :] == c_iota   # [S, K, R]
+                        lut_j = lut_rep[:, j * ksub : (j + 1) * ksub]
+                        prod = jnp.where(oh, lut_j[:, :, None], 0.0)
+                        acc_l = acc_l + jnp.sum(prod, axis=1)
+                    # l-order -> neighbor-order (0/1 permutation, exact
+                    # in bf16 up to the f32->bf16 cast of acc_l; ADC
+                    # noise dominates that rounding by orders)
+                    cand_sc = jnp.dot(
+                        acc_l.astype(jnp.bfloat16), p_mat,
                         preferred_element_type=jnp.float32,
-                    )
-                cand_sc = acc                                # [QB*E, RP]
+                    )                                        # [QB*E, RP]
 
                 valid = nbr != n_sentinel
                 valid &= nbr != excl_rep

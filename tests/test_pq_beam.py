@@ -1,0 +1,144 @@
+"""PQ fused traversal kernel: correctness in interpret mode (CPU).
+
+The PQ kernel navigates with ADC scores and exactly rescores
+beam + visited — so recall floors here are the same contract as the
+shipping path. d=96 cases prove the D % 128 == 0 restriction of the
+int8 inline kernel does not apply (queries only enter via LUTs).
+"""
+
+import numpy as np
+import pytest
+
+from leann_tpu.ops.distance import exact_topk
+from leann_tpu.ops.pq_beam import PqBeamEngine, pack_pq_records, pq_plane_geometry
+from leann_tpu.ops.vamana import build_vamana
+
+
+def _corpus(n, d, seed=0, clusters=24):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
+    return (centers[rng.integers(0, clusters, n)]
+            + rng.standard_normal((n, d)).astype(np.float32))
+
+
+def test_pq_plane_geometry():
+    assert pq_plane_geometry(48, 16, 4) == (8, 6, 1)
+    assert pq_plane_geometry(48, 8, 8) == (4, 12, 1)
+    assert pq_plane_geometry(64, 16, 4) == (8, 8, 1)
+    assert pq_plane_geometry(128, 16, 4) == (8, 16, 2)
+
+
+def test_pack_pq_records_layout():
+    import jax.numpy as jnp
+
+    n, r, m = 40, 8, 4
+    rng = np.random.default_rng(1)
+    adj = rng.integers(0, n, (n + 1, r)).astype(np.int32)
+    adj[n] = n
+    codes = rng.integers(0, 16, (n + 1, m)).astype(np.uint8)
+    codes[n] = 0
+    rec = np.asarray(pack_pq_records(jnp.asarray(adj), jnp.asarray(codes), 4))
+    assert rec.shape == (n + 1, 2, 128)
+    # ids plane: first r lanes = adjacency, rest sentinel
+    np.testing.assert_array_equal(rec[:, 0, :r], adj)
+    assert (rec[:, 0, r:] == n).all()
+    # code plane: subspace j, neighbor i -> lane j*lps + i//8, nibble i%8
+    cpl, lps, planes = pq_plane_geometry(r, m, 4)
+    for node in (0, 7, n):
+        for j in range(m):
+            for i in range(r):
+                lane = j * lps + i // cpl
+                word = rec[node, 1, lane]
+                nib = (word >> (4 * (i % cpl))) & 0xF
+                assert nib == codes[adj[node, i], j], (node, j, i)
+
+
+@pytest.mark.parametrize("metric,d", [("l2", 128), ("ip", 128), ("l2", 96)])
+def test_pq_engine_recall_interpret(metric, d):
+    # Bar calibration: navigating on reconstructed x_hat with the XLA
+    # engine + exact rescore of a same-size candidate pool (the
+    # numerical equivalent of a *correct* ADC kernel) measures 0.63
+    # recall@10 for m=16/ksub=16 on this corpus — the 4-bit ADC
+    # resolution ceiling, not a kernel property. The bar asserts the
+    # kernel is at that ceiling; shipping quality comes from 8-bit
+    # codes (ksub=256, test below).
+    n, r = 1500, 16
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=32, metric=metric, wave_size=512
+    )
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric=metric, m=16, ksub=16, qb=8,
+        ring_size=256, visited_pool=128, interpret=True,
+    )
+    b = 16
+    rng = np.random.default_rng(1)
+    q = vecs[rng.integers(0, n, b)] + rng.standard_normal((b, d)).astype(
+        np.float32) * 0.05
+    idx, sc = eng.search(q, k=10, beam_width=32)
+    _, oracle = exact_topk(q, vecs, 10, metric=metric)
+    recall = np.mean([
+        len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(b)
+    ])
+    assert recall >= 0.5, recall
+    # exact-rescored scores: descending and consistent with direct calc
+    assert (np.diff(sc, axis=1) <= 1e-4).all()
+    i0 = idx[0, 0]
+    if metric == "l2":
+        want = 2 * float(q[0] @ vecs[i0]) - float(vecs[i0] @ vecs[i0])
+    else:
+        want = float(q[0] @ vecs[i0])
+    np.testing.assert_allclose(sc[0, 0], want, rtol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "metric,d,m", [("l2", 64, 8), ("l2", 128, 16), ("ip", 96, 8)]
+)
+def test_pq_engine_8bit_interpret(metric, d, m):
+    """ksub=256 (the shipping resolution) takes the wide 3D-one-hot
+    path; quality bar 0.8 holds across metrics and non-128 dims."""
+    n, r = 1000, 16
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=32, metric=metric, wave_size=512
+    )
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric=metric, m=m, ksub=256, qb=8,
+        ring_size=256, visited_pool=128, interpret=True,
+    )
+    rng = np.random.default_rng(2)
+    q = vecs[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(
+        np.float32) * 0.05
+    idx, _ = eng.search(q, k=10, beam_width=32)
+    _, oracle = exact_topk(q, vecs, 10, metric=metric)
+    recall = np.mean([
+        len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(8)
+    ])
+    assert recall >= 0.8, recall
+
+
+def test_pq_search_many_device_matches_single_interpret():
+    import jax.numpy as jnp
+
+    n, d, r = 800, 64, 16
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=32, metric="l2", wave_size=512
+    )
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric="l2", m=16, ksub=16, qb=8,
+        ring_size=256, visited_pool=128, interpret=True,
+    )
+    rng = np.random.default_rng(3)
+    qs = vecs[rng.integers(0, n, (2, 8))] + rng.standard_normal(
+        (2, 8, d)).astype(np.float32) * 0.05
+    ids_m, sc_m = eng.search_many_device(jnp.asarray(qs), k=10, beam_width=32)
+    assert np.asarray(ids_m).shape == (2, 8, 10)
+    for mm in range(2):
+        ids_1, sc_1 = eng.search_device(qs[mm], k=10, beam_width=32)
+        np.testing.assert_array_equal(np.asarray(ids_m[mm]), np.asarray(ids_1))
+        np.testing.assert_allclose(
+            np.asarray(sc_m[mm]), np.asarray(sc_1), rtol=1e-5, atol=1e-5
+        )
