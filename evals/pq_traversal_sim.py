@@ -77,17 +77,35 @@ def main():
     log(f"artifact {art} loaded")
 
     t0 = time.time()
-    sample = corpus[rng.choice(n, 262_144, replace=False)]
-    books = train_pq(sample, m=args.m, ksub=args.ksub, iters=10)
-    codes = encode_pq(corpus, books)
+    pc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}.npz")
+    if os.path.exists(pc):
+        z = np.load(pc)
+        books, codes = z["books"], z["codes"]
+        log(f"pq cache {pc}")
+    else:
+        sample = corpus[rng.choice(n, 262_144, replace=False)]
+        books = train_pq(sample, m=args.m, ksub=args.ksub, iters=10)
+        codes = encode_pq(corpus, books)
+        np.savez_compressed(pc, books=books, codes=codes)
     xh = reconstruct_pq(codes, books)
     rel = float(np.linalg.norm(corpus[:100_000] - xh[:100_000])
                 / np.linalg.norm(corpus[:100_000]))
     log(f"pq trained+encoded in {time.time()-t0:.0f}s; rel recon err {rel:.3f}")
 
-    log("oracle ...")
-    _, oracle = exact_topk(queries, corpus, 10, metric="l2", two_stage=True)
-    oracle = np.asarray(oracle)
+    oc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        f"oracle_n{n}_d{d}_q{args.queries}.npz")
+    if os.path.exists(oc):
+        oracle = np.load(oc)["oracle"]
+        log(f"oracle cache {oc}")
+    else:
+        log("oracle ...")
+        _, oracle = exact_topk(
+            queries, corpus, 10, metric="l2", two_stage=True)
+        oracle = np.asarray(oracle)
+        np.savez_compressed(oc, oracle=oracle)
 
     corpus_dev = jnp.asarray(corpus)  # true vectors for the final rescore
 

@@ -53,15 +53,53 @@ NEG_INF = float("-inf")
 # ------------------------------------------------------------------ pack
 
 
-def pq_plane_geometry(r: int, m: int, bits: int) -> Tuple[int, int, int]:
-    """(codes_per_lane, lanes_per_sub, code_planes)."""
+def pq_layout(r: int, m: int, bits: int):
+    """Record lane layout: (cpl, lps, slots, cp).
+
+    cpl = codes per packed i32 lane (8 for 4-bit, 4 for 8-bit);
+    lps = lanes per subspace (= R/cpl); slots[j] = (plane, lane_offset)
+    of subspace j's packed words; cp = total planes per record.
+
+    Plane 0 holds the R neighbor ids in lanes [0, r) and subspace words
+    in its free tail; later planes are all words. No subspace ever
+    crosses a plane boundary (the kernel slices each subspace with one
+    static 2D lane slice — no cross-plane reshape). The tail packing is
+    what fits m=16 x ksub=256 codes at R=48 in TWO planes (1KB/node):
+    DEEP-10M records = 10.2GB, inside one v5e HBM with the bf16 rescore
+    corpus."""
     cpl = 32 // bits                  # 8 for 4-bit, 4 for 8-bit
     if r % cpl:
         raise ValueError(f"R={r} must be a multiple of {cpl} for {bits}-bit")
     lps = r // cpl
-    lanes = m * lps
-    planes = -(-lanes // 128)
-    return cpl, lps, planes
+    slots = []
+    plane, off = 0, r
+    for _ in range(m):
+        if off + lps > 128:
+            plane, off = plane + 1, 0
+        slots.append((plane, off))
+        off += lps
+    return cpl, lps, slots, plane + 1
+
+
+def _assemble_record(adj_rows, words, r, m, bits):
+    """[c, R] ids + [c, m, lps] words -> [c, CP, 128] per pq_layout."""
+    c = adj_rows.shape[0]
+    cpl, lps, slots, cp = pq_layout(r, m, bits)
+    planes_out = []
+    for p in range(cp):
+        parts = [adj_rows] if p == 0 else []
+        cursor = r if p == 0 else 0
+        for j, (pj, off) in enumerate(slots):
+            if pj != p:
+                continue
+            if off > cursor:
+                parts.append(jnp.zeros((c, off - cursor), jnp.int32))
+            parts.append(words[:, j, :])
+            cursor = off + lps
+        if cursor < 128:
+            parts.append(jnp.zeros((c, 128 - cursor), jnp.int32))
+        planes_out.append(jnp.concatenate(parts, axis=1))
+    return jnp.stack(planes_out, axis=1)                     # [c, CP, 128]
 
 
 def pack_pq_records(
@@ -70,14 +108,13 @@ def pack_pq_records(
     bits: int,
     chunk: int = 131072,
 ) -> jnp.ndarray:
-    """Build records [N+1, 1 + code_planes, 128] i32."""
+    """Build records [N+1, CP, 128] i32 per pq_layout (ids in plane-0
+    lanes [0, r); subspace words tail-packed from lane r onward)."""
     n1, r = adjacency.shape
     m = codes.shape[1]
     if r > 128:
         raise ValueError("R <= 128 required")
-    cpl, lps, planes = pq_plane_geometry(r, m, bits)
-    n_sentinel = n1 - 1
-    cp = 1 + planes
+    cpl, lps, slots, cp = pq_layout(r, m, bits)
     out = jnp.zeros((n1, cp, 128), jnp.int32)
     shifts = (jnp.arange(cpl, dtype=jnp.int32) * bits)      # [cpl]
 
@@ -86,20 +123,11 @@ def pack_pq_records(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def upd(buf, adj_, codes_, i):
         rows = jax.lax.dynamic_slice_in_dim(adj_, i, step)   # [c, R]
-        idpad = jnp.full((step, 128 - r), n_sentinel, jnp.int32)
-        ids_plane = jnp.concatenate([rows, idpad], axis=1)   # [c, 128]
         nc = codes_[rows].astype(jnp.int32)                  # [c, R, m]
         nc = jnp.transpose(nc, (0, 2, 1))                    # [c, m, R]
         nc = nc.reshape(step, m, lps, cpl)
         words = jnp.sum(nc << shifts[None, None, None, :], axis=3)
-        words = words.reshape(step, m * lps)                 # [c, lanes]
-        pad = planes * 128 - m * lps
-        if pad:
-            words = jnp.concatenate(
-                [words, jnp.zeros((step, pad), jnp.int32)], axis=1)
-        rec = jnp.concatenate(
-            [ids_plane[:, None, :], words.reshape(step, planes, 128)],
-            axis=1)                                          # [c, CP, 128]
+        rec = _assemble_record(rows, words, r, m, bits)
         return jax.lax.dynamic_update_slice(buf, rec, (i, 0, 0))
 
     for i in range(0, n1, step):
@@ -124,22 +152,14 @@ def repack_pq_rows(
 def _repack_pq_jit(records, adjacency, codes, rows, bits):
     n1, r = adjacency.shape
     m = codes.shape[1]
-    cpl, lps, planes = pq_plane_geometry(r, m, bits)
+    cpl, lps, slots, cp = pq_layout(r, m, bits)
     k = rows.shape[0]
     shifts = jnp.arange(cpl, dtype=jnp.int32) * bits
     adj_rows = adjacency[rows]                               # [K, R]
-    idpad = jnp.full((k, 128 - r), n1 - 1, jnp.int32)
-    ids_plane = jnp.concatenate([adj_rows, idpad], axis=1)
     nc = codes[adj_rows].astype(jnp.int32)                   # [K, R, m]
     nc = jnp.transpose(nc, (0, 2, 1)).reshape(k, m, lps, cpl)
     words = jnp.sum(nc << shifts[None, None, None, :], axis=3)
-    words = words.reshape(k, m * lps)
-    pad = planes * 128 - m * lps
-    if pad:
-        words = jnp.concatenate(
-            [words, jnp.zeros((k, pad), jnp.int32)], axis=1)
-    rec = jnp.concatenate(
-        [ids_plane[:, None, :], words.reshape(k, planes, 128)], axis=1)
+    rec = _assemble_record(adj_rows, words, r, m, bits)
     return records.at[rows].set(rec)
 
 
@@ -152,7 +172,7 @@ def _make_pq_kernel(qb, e, r, m, ksub, bits, l, p2, v, max_iters,
     any metric folded in (see adc LUT construction in the engine)."""
     if e > 2:
         raise ValueError("pq kernel supports expansions <= 2")
-    cpl, lps, planes = pq_plane_geometry(r, m, bits)
+    cpl, lps, slots, _cp = pq_layout(r, m, bits)
     rp = -(-r // 128) * 128
     c = e * rp
     mask_val = (1 << bits) - 1
@@ -308,15 +328,24 @@ def _make_pq_kernel(qb, e, r, m, ksub, bits, l, p2, v, max_iters,
                         rec_hbm.at[0], rec_scr.at[slot], rec_sems.at[slot]
                     ).wait()
 
-                nbr = rec_scr[:, 0, :]                       # [QB*E, 128]
+                nbr_raw = rec_scr[:, 0, :]                   # [QB*E, 128]
+                # lanes >= r of plane 0 hold tail-packed code words,
+                # not ids — neutralize them to the sentinel
+                lane128 = jax.lax.broadcasted_iota(
+                    jnp.int32, (qb * e, 128), 1)
+                nbr = jnp.where(lane128 < r, nbr_raw, n_sentinel)
 
-                # ---- ADC scoring, accumulated per subspace
-                code_lanes = rec_scr[:, 1:, :].reshape(qb * e, planes * 128)
+                # ---- ADC scoring, accumulated per subspace; each
+                # subspace's packed words are one static 2D lane slice
+                # of its plane (pq_layout guarantees no plane crossing)
+                def packed_j(j):
+                    pj, off = slots[j]
+                    return rec_scr[:, pj, off : off + lps]
+
                 if not wide:
                     acc = jnp.zeros((qb * e, rp), jnp.float32)
                     for j in range(m):
-                        packed = code_lanes[:, j * lps : (j + 1) * lps]
-                        spread = pltpu.repeat(packed, cpl, axis=1)
+                        spread = pltpu.repeat(packed_j(j), cpl, axis=1)
                         codes_j = (spread >> nib_shift) & mask_val
                         # one-hot row [QB*E, W]: lane x hits when
                         # neighbor x%r's code == x//r
@@ -331,8 +360,7 @@ def _make_pq_kernel(qb, e, r, m, ksub, bits, l, p2, v, max_iters,
                 else:
                     acc_l = jnp.zeros((qb * e, r), jnp.float32)
                     for j in range(m):
-                        packed = code_lanes[:, j * lps : (j + 1) * lps]
-                        spread = pltpu.repeat(packed, cpl, axis=1)
+                        spread = pltpu.repeat(packed_j(j), cpl, axis=1)
                         codes_j = (spread >> nib_shift) & mask_val
                         oh = codes_j[:, None, :] == c_iota   # [S, K, R]
                         lut_j = lut_rep[:, j * ksub : (j + 1) * ksub]

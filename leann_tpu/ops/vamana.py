@@ -307,11 +307,48 @@ def _insert_waves(
         quant = quantize_corpus(vecs_dev)
         blocks, meta = pack_fused(vecs_dev, adjacency, quant=quant)
         q8, scale, nsq = quant
-        # fixed-shape changed-row buffer: wave rows + reverse-updated
-        # rows (<= wave*R), padded with the sentinel (self-healing)
-        repack_cap = wave_size * (r + 1)
+        # fixed-shape changed-row buffer for the reverse-repack, padded
+        # with the sentinel (self-healing)
+        repack_cap = wave_size * r
 
+    # --- software pipeline: the reverse-edge phase of wave i needs the
+    # pruned rows on HOST (integer grouping), which in a synchronous
+    # loop stalls the device behind the transfer + np.argsort and the
+    # host behind the device (measured r2: 1M R=48 end-to-end 2.3x its
+    # summed device time). Instead, wave i dispatches search -> prune ->
+    # forward-scatter (device-only, no host sync), starts an async D2H
+    # copy of its pruned rows, and applies wave i-1's reverse edges
+    # while the device crunches wave i. Reverse edges land one wave
+    # late; wave i+1's search sees everything except wave i's reverse
+    # edges (quality-neutral: the same rows are re-pruned on every later
+    # touch, and the final pass order is a fresh permutation).
     track = 2 * beam_width
+    pending = None  # (nb_dev, wave ids [w]) awaiting reverse application
+
+    def apply_pending(pend):
+        nonlocal adjacency, blocks, meta
+        nb_dev, wave_prev = pend
+        nb_host = np.asarray(nb_dev)                # ready via async copy
+        src = np.repeat(wave_prev.astype(np.int32), r)
+        dst = nb_host.reshape(-1)
+        keep = dst != n
+        src, dst = src[keep], dst[keep]
+        if not dst.size:
+            return
+        adjacency, uniq_dst = _apply_reverse_edges(
+            adjacency, vecs_dev, dst, src, n, r,
+            incoming_cap, alpha_dev, sentinel,
+        )
+        if use_fused:
+            for rstart in range(0, uniq_dst.shape[0], repack_cap):
+                rows = np.full(repack_cap, n, dtype=np.int32)
+                chunk = uniq_dst[rstart : rstart + repack_cap]
+                rows[: chunk.shape[0]] = chunk
+                blocks, meta = repack_rows(
+                    blocks, meta, q8, scale, nsq, adjacency,
+                    jnp.asarray(rows),
+                )
+
     for start in range(0, len(order), wave_size):
         t0 = time.time()
         wave = order[start : start + wave_size]
@@ -372,39 +409,35 @@ def _insert_waves(
             precision="default",
         )
         adjacency = adjacency.at[jnp.asarray(wave_pad[:w])].set(new_nbrs[:w])
+        nb_dev = new_nbrs[:w]
+        try:
+            nb_dev.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - older jax arrays
+            pass
+        if use_fused:
+            # forward rows must be fresh in the packed records before
+            # the next wave's search (reverse rows refresh one wave
+            # later, with their reverse prune)
+            frows = np.full(wb, n, dtype=np.int32)
+            frows[:w] = wave[:w]
+            blocks, meta = repack_rows(
+                blocks, meta, q8, scale, nsq, adjacency,
+                jnp.asarray(frows),
+            )
         if profile:
             jax.block_until_ready(adjacency)
             t2 = time.time()
 
-        # --- reverse edges ---
-        nb_host = np.asarray(new_nbrs[:w])
-        src = np.repeat(wave[:w].astype(np.int32), r)
-        dst = nb_host.reshape(-1)
-        keep = dst != n
-        src, dst = src[keep], dst[keep]
-        uniq_dst = None
-        if dst.size:
-            adjacency, uniq_dst = _apply_reverse_edges(
-                adjacency, vecs_dev, dst, src, n, r,
-                incoming_cap, alpha_dev, sentinel,
-            )
-        if use_fused:
-            # refresh packed records of every adjacency row this wave
-            # touched (inserted points + reverse-pruned targets)
-            rows = np.full(repack_cap, n, dtype=np.int32)
-            rows[:w] = wave[:w]
-            if uniq_dst is not None:
-                rows[w : w + uniq_dst.shape[0]] = uniq_dst
-            blocks, meta = repack_rows(
-                blocks, meta, q8, scale, nsq, adjacency,
-                jnp.asarray(rows),
-            )
+        # --- previous wave's reverse edges (overlaps device work) ---
+        if pending is not None:
+            apply_pending(pending)
+        pending = (nb_dev, wave[:w])
         if profile:
             jax.block_until_ready(adjacency)
             t3 = time.time()
             print(
                 f"[wave {start // wave_size}] search {t1 - t0:.2f}s  "
-                f"prune+scatter {t2 - t1:.2f}s  reverse {t3 - t2:.2f}s  "
+                f"prune+scatter {t2 - t1:.2f}s  reverse(prev) {t3 - t2:.2f}s  "
                 f"total {t3 - t0:.2f}s",
                 file=sys.stderr, flush=True,
             )
@@ -418,12 +451,15 @@ def _insert_waves(
                     f"eta {el / wave_i * (n_waves - wave_i):.0f}s",
                     file=sys.stderr, flush=True,
                 )
+    if pending is not None:
+        apply_pending(pending)
     return adjacency
 
 
-REVERSE_BLOCK = 16384  # fixed shape so the reverse-prune jit compiles once
-# (16384 over 4096: 4x fewer sequential dispatches per wave — the
-# reverse phase is launch-bound, ~16ms/block at 1M regardless of size)
+REVERSE_BLOCK = 32768  # fixed shape so the reverse-prune jit compiles once
+# (bigger blocks = fewer sequential dispatches per wave — the reverse
+# phase is launch-bound; 32768 x 56-candidate prune cubes are ~400MB of
+# transient HBM, well within budget)
 
 
 @functools.partial(jax.jit, static_argnames=("degree",), donate_argnums=(0,))

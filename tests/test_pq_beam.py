@@ -10,7 +10,11 @@ import numpy as np
 import pytest
 
 from leann_tpu.ops.distance import exact_topk
-from leann_tpu.ops.pq_beam import PqBeamEngine, pack_pq_records, pq_plane_geometry
+from leann_tpu.ops.pq_beam import (
+    PqBeamEngine,
+    pack_pq_records,
+    pq_layout,
+)
 from leann_tpu.ops.vamana import build_vamana
 
 
@@ -21,11 +25,24 @@ def _corpus(n, d, seed=0, clusters=24):
             + rng.standard_normal((n, d)).astype(np.float32))
 
 
-def test_pq_plane_geometry():
-    assert pq_plane_geometry(48, 16, 4) == (8, 6, 1)
-    assert pq_plane_geometry(48, 8, 8) == (4, 12, 1)
-    assert pq_plane_geometry(64, 16, 4) == (8, 8, 1)
-    assert pq_plane_geometry(128, 16, 4) == (8, 16, 2)
+def test_pq_layout():
+    # R=48, m=16, 4-bit: lps=6, plane 0 tail fits 13 subspaces after
+    # the 48 id lanes, 3 overflow to plane 1 -> 2 planes total
+    cpl, lps, slots, cp = pq_layout(48, 16, 4)
+    assert (cpl, lps, cp) == (8, 6, 2)
+    assert slots[0] == (0, 48) and slots[12] == (0, 48 + 12 * 6)
+    assert slots[13] == (1, 0)
+    # the DEEP-10M config: R=48, m=16, 8-bit -> exactly 2 planes
+    # (1KB/node: 10.2GB at 10M)
+    cpl, lps, slots, cp = pq_layout(48, 16, 8)
+    assert (cpl, lps, cp) == (4, 12, 2)
+    assert slots[5] == (0, 48 + 5 * 12) and slots[6] == (1, 0)
+    assert slots[15] == (1, 9 * 12)
+    # no subspace crosses a plane boundary, ever
+    for r, m, bits in [(48, 16, 8), (128, 16, 4), (32, 24, 8), (16, 8, 4)]:
+        cpl, lps, slots, cp = pq_layout(r, m, bits)
+        for p, off in slots:
+            assert off + lps <= 128 and p < cp
 
 
 def test_pack_pq_records_layout():
@@ -38,17 +55,16 @@ def test_pack_pq_records_layout():
     codes = rng.integers(0, 16, (n + 1, m)).astype(np.uint8)
     codes[n] = 0
     rec = np.asarray(pack_pq_records(jnp.asarray(adj), jnp.asarray(codes), 4))
-    assert rec.shape == (n + 1, 2, 128)
-    # ids plane: first r lanes = adjacency, rest sentinel
+    cpl, lps, slots, cp = pq_layout(r, m, 4)
+    assert rec.shape == (n + 1, cp, 128)
+    # plane 0: first r lanes = adjacency ids
     np.testing.assert_array_equal(rec[:, 0, :r], adj)
-    assert (rec[:, 0, r:] == n).all()
-    # code plane: subspace j, neighbor i -> lane j*lps + i//8, nibble i%8
-    cpl, lps, planes = pq_plane_geometry(r, m, 4)
+    # subspace j, neighbor i -> plane/offset per pq_layout, nibble i%cpl
     for node in (0, 7, n):
         for j in range(m):
+            pj, off = slots[j]
             for i in range(r):
-                lane = j * lps + i // cpl
-                word = rec[node, 1, lane]
+                word = rec[node, pj, off + i // cpl]
                 nib = (word >> (4 * (i % cpl))) & 0xF
                 assert nib == codes[adj[node, i], j], (node, j, i)
 
@@ -112,6 +128,34 @@ def test_pq_engine_8bit_interpret(metric, d, m):
         np.float32) * 0.05
     idx, _ = eng.search(q, k=10, beam_width=32)
     _, oracle = exact_topk(q, vecs, 10, metric=metric)
+    recall = np.mean([
+        len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(8)
+    ])
+    assert recall >= 0.8, recall
+
+
+def test_pq_engine_deep_geometry_interpret():
+    """The DEEP-10M record geometry end-to-end: R=48, m=16, ksub=256,
+    d=96 — subspace words tail-packed into plane 0 AND overflowing to
+    plane 1 (cp=2). Exercises the multi-plane slot slicing in-kernel."""
+    _, _, slots, cp = pq_layout(48, 16, 8)
+    assert cp == 2 and slots[5][0] == 0 and slots[6][0] == 1
+    n, d, r = 1200, 96, 48
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=48, metric="l2", wave_size=512
+    )
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric="l2", m=16, ksub=256, qb=8,
+        ring_size=256, visited_pool=128, interpret=True,
+    )
+    assert eng.records.shape == (n + 1, 2, 128)
+    rng = np.random.default_rng(5)
+    q = vecs[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(
+        np.float32) * 0.05
+    idx, _ = eng.search(q, k=10, beam_width=32)
+    _, oracle = exact_topk(q, vecs, 10, metric="l2")
     recall = np.mean([
         len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
         for i in range(8)
