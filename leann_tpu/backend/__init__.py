@@ -60,34 +60,51 @@ class FlatSearcher:
 class GraphSearcher:
     """Frontier-batched beam search over a fixed-degree graph.
 
-    Engine selection (override with LEANN_GRAPH_ENGINE=fused|inline):
+    Engine selection (override with LEANN_GRAPH_ENGINE=fused|pq|inline):
     on a real TPU with kernel-compatible shapes (D % 128 == 0, R <= 128)
-    the fused whole-traversal Pallas kernel serves (measured at 1M:
+    the fused int8 whole-traversal Pallas kernel serves (measured at 1M:
     10.1k QPS sync / 18.9k pipelined @ recall 0.994 beam 64, vs 3.3k
-    for the XLA inline path); otherwise
-    the XLA inline-block engine."""
+    for the XLA inline path). When the int8 inline blocks exceed the
+    per-chip HBM budget or D % 128 != 0 (the DEEP-10M shape: 10M x 96 x
+    R48 = 46GB inline), the PQ fused kernel serves instead — inline
+    128-bit ADC codes (1KB/node records) navigate, exact rescore of
+    beam + visited selects. Otherwise the XLA inline-block engine."""
 
-    def __init__(self, vectors: np.ndarray, graph, metric: str = "ip"):
+    def __init__(self, vectors: np.ndarray, graph, metric: str = "ip",
+                 base: str = ""):
         import os
 
         self.metric = metric
         vectors = np.asarray(vectors)
-        d = vectors.shape[1]
+        n, d = vectors.shape
         r = graph.adjacency.shape[1]
         choice = os.environ.get("LEANN_GRAPH_ENGINE", "auto")
+        use_fused = use_pq = False
         if choice == "auto":
             from leann_tpu.ops.pallas_kernels import pallas_available
 
-            # packed int8 inline blocks need (N+1)*R*D bytes of HBM —
-            # beyond ~9GB (one v5e minus working set) serve via the XLA
-            # inline engine (flat [N, D] gathers) instead
-            blocks_gb = (vectors.shape[0] + 1) * r * d / 1e9
-            use_fused = (
-                pallas_available() and d % 128 == 0 and r <= 128
-                and blocks_gb < 9.0
-            )
+            if pallas_available() and r <= 128:
+                # packed int8 inline blocks need (N+1)*R*D bytes of
+                # HBM — beyond ~9GB (one v5e minus working set) fall
+                # through to PQ records ((N+1)*cp*512 bytes + the
+                # rescore corpus)
+                blocks_gb = (n + 1) * r * d / 1e9
+                use_fused = d % 128 == 0 and blocks_gb < 9.0
+                if not use_fused:
+                    m = next(
+                        (mm for mm in (16, 12, 8) if d % mm == 0), 0)
+                    if m and r % 4 == 0:
+                        from leann_tpu.ops.pq_beam import pq_layout
+
+                        _, _, _, cp = pq_layout(r, m, 8)
+                        pq_gb = (
+                            (n + 1) * cp * 512           # records
+                            + n * d * 2                  # bf16 rescore
+                        ) / 1e9
+                        use_pq = pq_gb < 13.0
         else:
             use_fused = choice == "fused"
+            use_pq = choice == "pq"
         if use_fused:
             from leann_tpu.ops.fused_beam import FusedBeamEngine
 
@@ -99,6 +116,37 @@ class GraphSearcher:
                 expansions=2,
                 qb=int(os.environ.get("LEANN_FUSED_QB", 16)),
             )
+        elif use_pq:
+            from leann_tpu.ops.pallas_kernels import pallas_available
+            from leann_tpu.ops.pq_beam import PqBeamEngine
+            from leann_tpu.store import pqfile
+
+            m = next((mm for mm in (16, 12, 8) if d % mm == 0), 8)
+            books = codes = None
+            if base:
+                art = pqfile.load_pq(base, n, metric)
+                if art is not None:
+                    books, codes = art
+            self.engine = PqBeamEngine(
+                vectors=vectors,
+                adjacency=graph.adjacency,
+                medoid=graph.medoid,
+                metric=metric,
+                m=m,
+                ksub=256,
+                rescore="bf16",
+                qb=int(os.environ.get("LEANN_FUSED_QB", 16)),
+                codebooks=books,
+                codes=codes,
+                # hermetic CPU tests force LEANN_GRAPH_ENGINE=pq; the
+                # kernel runs in interpret mode off-TPU
+                interpret=not pallas_available(),
+            )
+            if base and books is None:
+                pqfile.save_pq(
+                    base, self.engine.codebooks,
+                    np.asarray(self.engine.codes), n, metric,
+                )
         else:
             from leann_tpu.ops.beam import BeamSearchEngine
 
@@ -268,4 +316,4 @@ def _load_local_searcher(base: str, meta):
         # no graph at all: degrade gracefully to exact search
         return FlatSearcher(np.asarray(vectors), metric=metric)
     graph = GraphFile.load(graph_path(base))
-    return GraphSearcher(np.asarray(vectors), graph, metric=metric)
+    return GraphSearcher(np.asarray(vectors), graph, metric=metric, base=base)

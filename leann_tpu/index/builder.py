@@ -222,11 +222,12 @@ class StreamingIndexBuilder:
             metric=self.metric,
         )
         meta.save(meta_path(self.base))
-        # a rebuild at the same base invalidates any sharded-serving
-        # sidecar built for the previous corpus (store/shardfile.py)
-        from leann_tpu.store import shardfile
+        # a rebuild at the same base invalidates any derived sidecars
+        # built for the previous corpus (store/shardfile.py, pqfile.py)
+        from leann_tpu.store import pqfile, shardfile
 
         shardfile.invalidate_shards(self.base)
+        pqfile.invalidate_pq(self.base)
         if os.path.exists(ckpt_path(self.base)):
             os.remove(ckpt_path(self.base))
         return meta

@@ -73,7 +73,10 @@ def train_pq(
     sub = np.ascontiguousarray(sample.reshape(s, m, dsub).transpose(1, 0, 2))
     books = np.empty((m, ksub, dsub), np.float32)
     for j in range(m):
-        init = sub[j][rng.choice(s, ksub, replace=False)]
+        # corpora smaller than ksub duplicate init centroids; kmeans
+        # keeps empty clusters at their old centroid so shapes (and the
+        # uint8 code domain) stay fixed
+        init = sub[j][rng.choice(s, ksub, replace=s < ksub)]
         books[j] = np.asarray(
             _kmeans_1sub(jnp.asarray(sub[j]), jnp.asarray(init), ksub, iters)
         )

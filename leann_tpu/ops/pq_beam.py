@@ -606,6 +606,7 @@ class PqBeamEngine:
         self.codebooks = np.asarray(codebooks, np.float32)
         if codes is None:
             codes = encode_pq(vectors, self.codebooks)
+        self.codes = np.asarray(codes, np.uint8)
         codes1 = np.concatenate(
             [codes, np.zeros((1, m), np.uint8)], axis=0)    # sentinel row
         self.records = pack_pq_records(

@@ -163,6 +163,54 @@ def test_pq_engine_deep_geometry_interpret():
     assert recall >= 0.8, recall
 
 
+def test_graph_searcher_pq_engine_and_sidecar(tmp_path, monkeypatch):
+    """LEANN_GRAPH_ENGINE=pq routes GraphSearcher to the PQ fused
+    engine; codebooks/codes persist to <base>.pq.npz and reload without
+    retraining; a rebuild invalidates the sidecar."""
+    import os
+
+    from leann_tpu.backend import load_searcher
+    from leann_tpu.index.builder import IndexBuilder
+    from leann_tpu.ops.pq_beam import PqBeamEngine
+    from leann_tpu.store import pqfile
+    from leann_tpu.store.meta import IndexMeta, meta_path
+
+    monkeypatch.setenv("LEANN_GRAPH_ENGINE", "pq")
+    base = str(tmp_path / "documents.leann")
+    rng = np.random.default_rng(7)
+    n, d = 300, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    builder = IndexBuilder(base, dim=d, backend="vamana")
+    for i in range(n):
+        builder.add(f"p{i}", f"passage {i}", vecs[i], {"n": i})
+    builder.build()
+    meta = IndexMeta.load(meta_path(base))
+
+    s1 = load_searcher(base, meta)
+    assert isinstance(s1.engine, PqBeamEngine)
+    assert os.path.exists(pqfile.pq_path(base))
+    idx, _ = s1.search(vecs[5:6], k=3, complexity=32)
+    assert 5 in idx[0]
+
+    # reload must reuse the sidecar: poison train_pq
+    import leann_tpu.ops.pq_beam as pqb
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("PQ retrained despite persisted sidecar")
+
+    monkeypatch.setattr(pqb, "train_pq", boom)
+    s2 = load_searcher(base, meta)
+    idx2, _ = s2.search(vecs[5:6], k=3, complexity=32)
+    np.testing.assert_array_equal(idx, idx2)
+
+    # rebuild at the same base invalidates the sidecar
+    builder = IndexBuilder(base, dim=d, backend="vamana")
+    for i in range(50):
+        builder.add(f"q{i}", f"new passage {i}", vecs[i], {"n": i})
+    builder.build()
+    assert not os.path.exists(pqfile.pq_path(base))
+
+
 def test_pq_search_many_device_matches_single_interpret():
     import jax.numpy as jnp
 
