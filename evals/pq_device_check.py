@@ -1,0 +1,170 @@
+"""PQ fused kernel on real TPU: compile, recall, device-time QPS.
+
+First-hardware shakeout for ops/pq_beam.py (interpret-mode tests prove
+the lane algebra; Mosaic lowering, VMEM budgets and DMA behavior only
+show up on the chip). Runs against a prebuilt Vamana artifact:
+
+  python evals/pq_device_check.py --n 1000000 --d 128 --m 16
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --rescore bf16
+
+Reports recall@10 vs the corpus oracle and amortized device time via
+search_many_device (M batches, one dispatch), mean +/- std across
+windows — same methodology as evals/device_time.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def make_corpus(rng, n, d, clusters=1024):
+    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
+    assign = rng.integers(0, clusters, n)
+    return (centers[assign]
+            + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--ksub", type=int, default=256)
+    ap.add_argument("--b", type=int, default=2048)
+    ap.add_argument("--beam", type=int, default=64)
+    ap.add_argument("--visited", type=int, default=256)
+    ap.add_argument("--qb", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--mbatches", type=int, default=0, help="0 = auto ~2s")
+    ap.add_argument("--recall-q", type=int, default=1024)
+    ap.add_argument("--rescore", default="f32")
+    ap.add_argument("--artifact", default=None)
+    args = ap.parse_args()
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    import jax
+    import jax.numpy as jnp
+
+    from leann_tpu.ops.distance import exact_topk
+    from leann_tpu.ops.pq_beam import PqBeamEngine
+
+    n, d, b = args.n, args.d, args.b
+    log(f"devices: {jax.devices()}")
+    rng = np.random.default_rng(0)
+    # pool size MUST match bench.py (single PCG64 stream; see
+    # device_time.py comment)
+    pool = make_corpus(rng, n + 1024 + 2048, d)
+    corpus, rq = pool[:n], pool[n : n + args.recall_q]
+
+    art = args.artifact or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
+    a = np.load(art)
+    adjacency, medoid = a["adjacency"], int(a["medoid"])
+    log(f"artifact {art}")
+
+    oc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        f"oracle_n{n}_d{d}_q{args.recall_q}.npz")
+    if os.path.exists(oc):
+        oracle = np.load(oc)["oracle"]
+        log(f"oracle cache {oc}")
+    else:
+        log("oracle ...")
+        _, oracle = exact_topk(rq, corpus, 10, metric="l2", two_stage=True)
+        oracle = np.asarray(oracle)
+        np.savez_compressed(oc, oracle=oracle)
+
+    pc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}.npz")
+    books = codes = None
+    if os.path.exists(pc):
+        z = np.load(pc)
+        books, codes = z["books"], z["codes"]
+        log(f"pq cache {pc}")
+
+    t0 = time.time()
+    eng = PqBeamEngine(
+        corpus, adjacency, medoid, metric="l2", m=args.m, ksub=args.ksub,
+        qb=args.qb, visited_pool=args.visited, rescore=args.rescore,
+        codebooks=books, codes=codes,
+    )
+    if books is None:
+        np.savez_compressed(
+            pc, books=eng.codebooks, codes=np.asarray(eng.codes))
+    log(f"engine up in {time.time()-t0:.0f}s")
+
+    t0 = time.time()
+    ids, _ = eng.search(rq, k=10, beam_width=args.beam)
+    log(f"first batch (compile) {time.time()-t0:.0f}s")
+    recall = float(np.mean([
+        len(set(ids[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(len(oracle))
+    ]))
+    log(f"recall@10: {recall:.4f} @ beam {args.beam}")
+
+    def draw_qs(mb, seed):
+        r = np.random.default_rng(seed)
+        base = corpus[r.integers(0, n, mb * b)]
+        noise = r.standard_normal((mb * b, d)).astype(np.float32)
+        return (base + noise).reshape(mb, b, d)
+
+    def call(qs):
+        return eng.search_many_device(qs, k=10, beam_width=args.beam)
+
+    if args.mbatches:
+        mb = args.mbatches
+    else:
+        probe = jnp.asarray(draw_qs(1, 99))
+        jax.block_until_ready(call(probe))
+        t0 = time.time()
+        jax.block_until_ready(call(probe))
+        t = time.time() - t0
+        mb = int(max(4, min(256, 2.0 / max(t - 0.05, 1e-3))))
+        log(f"probe batch {t*1e3:.1f}ms -> M={mb}")
+
+    windows = [jax.device_put(jnp.asarray(draw_qs(mb, 1000 + w)))
+               for w in range(min(args.reps, 3))]
+    jax.block_until_ready(windows)
+    out = call(windows[0])
+    jax.block_until_ready(out)
+    times = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        out = call(windows[i % len(windows)])
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    per_batch = np.array(times) / mb
+    qps = b / per_batch
+    row = {
+        "engine": "pq-fused", "n": n, "d": d, "m": args.m,
+        "ksub": args.ksub, "beam": args.beam, "visited": args.visited,
+        "b": b, "mbatches": mb, "reps": args.reps,
+        "rescore": args.rescore,
+        "recall_at_10": round(recall, 4),
+        "device_ms_per_batch_mean": round(float(per_batch.mean() * 1e3), 3),
+        "device_ms_per_batch_std": round(float(per_batch.std() * 1e3), 3),
+        "device_qps_mean": round(float(qps.mean()), 1),
+        "device_qps_std": round(float(qps.std()), 1),
+        "records_gb": round(
+            float(np.prod(eng.records.shape)) * 4 / 1e9, 2),
+    }
+    print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -429,7 +429,7 @@ def beam_search_inline_batch(
     jax.jit,
     static_argnames=(
         "beam_width", "max_iters", "metric", "hash_bits", "config",
-        "expansions",
+        "expansions", "visited_pool",
     ),
 )
 def beam_search_recompute_batch(
@@ -446,10 +446,17 @@ def beam_search_recompute_batch(
     config,                      # BertConfig (hashable static)
     hash_bits: int = 12,
     expansions: int = 1,
+    visited_pool: int = 128,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The LEANN trick, fused: no stored vectors exist — every hop's
     candidates are re-embedded by the BERT encoder *inside* the traversal
-    loop, on the same chip."""
+    loop, on the same chip.
+
+    visited_pool > 0 merges the visited log into the final top-k: every
+    logged node's score is already an exact fresh-embedding score
+    (computed at expansion time), so recovering true neighbors the beam
+    dropped costs ZERO extra encoder forwards — the cheapest possible
+    recall lever in the one mode where scoring is expensive."""
     from leann_tpu.models.bert import bert_forward
 
     n_sentinel = token_ids.shape[0] - 1
@@ -472,10 +479,14 @@ def beam_search_recompute_batch(
         nbrs = adjacency[u].reshape(q.shape[0], -1)
         return nbrs, score_fn(q, nbrs)
 
-    return _beam_search_core(
+    beam_ids, beam_sc, vlog_ids, vlog_sc = _beam_search_core(
         queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
-    )[:2]
+        track_visited=visited_pool,
+    )
+    if not visited_pool:
+        return beam_ids, beam_sc
+    return _merge_visited(beam_ids, beam_sc, vlog_ids, vlog_sc, n_sentinel)
 
 
 # ---------------------------------------------------------------- host API
@@ -514,7 +525,11 @@ class BeamSearchEngine:
         hash_bits: int = 12,
         expansions: int = 2,
         block_mode: str = "auto",
+        visited_pool: int = 128,
     ):
+        # visited-log rescue applies to the row-gather path (exact f32
+        # scores); inline block modes keep their quantized-score beam
+        self.visited_pool = visited_pool
         self.expansions = max(1, expansions)
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.n, self.d = vectors.shape
@@ -631,22 +646,101 @@ class BeamSearchEngine:
                 n_entries=n_entries,
             )
         else:
-            ids, scores = beam_search_batch(
-                jnp.asarray(q),
-                self.vectors,
-                self.adjacency,
-                self.sq_norms,
-                self.entries,
-                jnp.asarray(exc),
-                beam_width=beam_width,
-                max_iters=max_iters,
-                metric=self.metric,
-                hash_bits=self.hash_bits,
-                expansions=self.expansions,
-                seed_ids=self.seed_ids,
-                n_entries=n_entries,
+            ids, scores = _xla_visited_search_jit(
+                jnp.asarray(q), self.vectors, self.adjacency,
+                self.sq_norms, self.entries, self.seed_ids,
+                jnp.asarray(exc), beam_width, max_iters, self.metric,
+                self.hash_bits, self.expansions, n_entries,
+                self.visited_pool,
             )
         return ids[:b], scores[:b]
+
+    def search_many_device(self, qs, k=10, beam_width=64):
+        """[M, B, D] device-resident query batches -> (ids, scores)
+        [M, B, k] in ONE dispatch (lax.scan) — relay amortization for
+        honest device timing and coalesced serving. Row-gather mode
+        only (the inline modes are superseded by the fused kernel)."""
+        if self.blocks is not None:
+            raise NotImplementedError(
+                "search_many_device: row-gather mode only")
+        mi = self.max_iters or ((4 * beam_width) // self.expansions + 32)
+        n_entries = min(16, max(1, beam_width // 2))
+        b = qs.shape[1]
+        exc = jnp.full((b,), -1, jnp.int32)
+        ids, scores = _xla_search_many_jit(
+            qs, self.vectors, self.adjacency, self.sq_norms,
+            self.entries, self.seed_ids, exc, beam_width, mi,
+            self.metric, self.hash_bits, self.expansions, n_entries,
+            self.visited_pool,
+        )
+        return ids[:, :, :k], scores[:, :, :k]
+
+
+def _merge_visited(beam_ids, beam_sc, vlog_ids, vlog_sc, n_sentinel):
+    """Top-|beam| over beam ++ visited-log by score. Scores must be in
+    one consistent space (exact f32 here); duplicates (visited entries
+    re-admitted to the beam) carry identical scores — id-sorted
+    adjacency dedup keeps one."""
+    cand = jnp.concatenate([beam_ids, vlog_ids], axis=1)
+    sc = jnp.concatenate([beam_sc, vlog_sc], axis=1)
+    order = jnp.argsort(cand, axis=1)
+    cand_s = jnp.take_along_axis(cand, order, axis=1)
+    sc_s = jnp.take_along_axis(sc, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((cand.shape[0], 1), bool),
+         cand_s[:, 1:] == cand_s[:, :-1]], axis=1)
+    sc_s = jnp.where(dup | (cand_s == n_sentinel), NEG_INF, sc_s)
+    top_sc, pos = jax.lax.top_k(sc_s, beam_ids.shape[1])
+    top_ids = jnp.take_along_axis(cand_s, pos, axis=1)
+    return jnp.where(top_sc == NEG_INF, n_sentinel, top_ids), top_sc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_iters", "metric", "hash_bits",
+                     "expansions", "n_entries", "visited_pool"),
+)
+def _xla_visited_search_jit(
+    queries, vectors, adjacency, sq_norms, entry, seed_ids, exclude,
+    beam_width, max_iters, metric, hash_bits, expansions, n_entries,
+    visited_pool=0,
+):
+    """Row-gather traversal + visited-log merge. Row-gather scores are
+    exact f32 (scored against the full-precision corpus), so merging
+    the visited log into the final top-k is free recall — the same
+    lever as the recompute path's."""
+    out = beam_search_batch(
+        queries, vectors, adjacency, sq_norms, entry, exclude,
+        beam_width=beam_width, max_iters=max_iters, metric=metric,
+        hash_bits=hash_bits, expansions=expansions,
+        track_visited=visited_pool, seed_ids=seed_ids,
+        n_entries=n_entries,
+    )
+    if not visited_pool:
+        return out[0], out[1]
+    return _merge_visited(*out, vectors.shape[0] - 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beam_width", "max_iters", "metric", "hash_bits",
+                     "expansions", "n_entries", "visited_pool"),
+)
+def _xla_search_many_jit(
+    qs, vectors, adjacency, sq_norms, entry, seed_ids, exclude,
+    beam_width, max_iters, metric, hash_bits, expansions, n_entries,
+    visited_pool,
+):
+    def body(_, q):
+        ids, scores = _xla_visited_search_jit(
+            q, vectors, adjacency, sq_norms, entry, seed_ids, exclude,
+            beam_width, max_iters, metric, hash_bits, expansions,
+            n_entries, visited_pool,
+        )
+        return None, (ids, scores)
+
+    _, (ids, scores) = jax.lax.scan(body, None, qs)
+    return ids, scores
 
 
 class RecomputeBeamEngine:
@@ -661,7 +755,9 @@ class RecomputeBeamEngine:
         encoder,                  # models.bert.BertEncoder
         metric: str = "ip",
         hash_bits: int = 12,
+        visited_pool: int = 128,
     ):
+        self.visited_pool = visited_pool
         self.n, t = token_ids.shape
         self.encoder = encoder
         self.metric = "ip" if metric == "cosine" else metric
@@ -705,6 +801,7 @@ class RecomputeBeamEngine:
             metric=self.metric,
             config=self.encoder.config,
             hash_bits=self.hash_bits,
+            visited_pool=self.visited_pool,
         )
         k = min(k, ids.shape[1])
         idx = np.asarray(ids[:b, :k])

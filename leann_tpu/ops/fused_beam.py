@@ -627,9 +627,14 @@ class FusedBeamEngine:
         expansions: int = 2,
         qb: int = 16,
         ring_size: int = 1024,
+        visited_pool: int = 128,
         interpret: bool = False,
         seed: int = 0,
     ):
+        import os as _os
+
+        self.visited_pool = int(
+            _os.environ.get("LEANN_FUSED_VISITED", visited_pool))
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.n, self.d = vectors.shape
         if self.d % 128 != 0:
@@ -707,6 +712,7 @@ class FusedBeamEngine:
             self.meta, self.seed_ids, self.seed_vecs, jnp.asarray(exc),
             self.r, beam_width, mi, self.metric, self.expansions,
             self.qb, self.ring_size, n_entries, self.interpret,
+            self.visited_pool,
         )
         return ids[:, :k], scores[:, :k]
 
@@ -724,7 +730,7 @@ class FusedBeamEngine:
             qs, self.vectors, self.sq_norms, self.blocks, self.meta,
             self.seed_ids, self.seed_vecs, exc, self.r, beam_width, mi,
             self.metric, self.expansions, self.qb, self.ring_size,
-            n_entries, self.interpret,
+            n_entries, self.interpret, self.visited_pool,
         )
         return ids[:, :, :k], scores[:, :, :k]
 
@@ -733,12 +739,12 @@ class FusedBeamEngine:
     jax.jit,
     static_argnames=("r", "beam_width", "max_iters", "metric",
                      "expansions", "qb", "ring_size", "n_entries",
-                     "interpret"),
+                     "interpret", "visited_pool"),
 )
 def _fused_search_many_jit(
     qs, corpus, corpus_nsq, blocks, meta, seed_ids, seed_vecs,
     exclude, r, beam_width, max_iters, metric, expansions, qb,
-    ring_size, n_entries, interpret,
+    ring_size, n_entries, interpret, visited_pool=0,
 ):
     """M query batches [M, B, D] through the fused traversal in ONE
     dispatch (lax.scan over batches) — per-dispatch relay overhead
@@ -748,7 +754,7 @@ def _fused_search_many_jit(
         ids, scores = _fused_search_jit(
             q, corpus, corpus_nsq, blocks, meta, seed_ids, seed_vecs,
             exclude, r, beam_width, max_iters, metric, expansions, qb,
-            ring_size, n_entries, interpret,
+            ring_size, n_entries, interpret, visited_pool,
         )
         return None, (ids, scores)
 
@@ -760,14 +766,20 @@ def _fused_search_many_jit(
     jax.jit,
     static_argnames=("r", "beam_width", "max_iters", "metric",
                      "expansions", "qb", "ring_size", "n_entries",
-                     "interpret"),
+                     "interpret", "visited_pool"),
 )
 def _fused_search_jit(
     queries, corpus, corpus_nsq, blocks, meta, seed_ids, seed_vecs,
     exclude, r, beam_width, max_iters, metric, expansions, qb,
-    ring_size, n_entries, interpret,
+    ring_size, n_entries, interpret, visited_pool=0,
 ):
-    """Seed-select -> fused kernel -> exact f32 rescore, one jit."""
+    """Seed-select -> fused kernel -> exact f32 rescore, one jit.
+
+    visited_pool > 0 widens the exact-rescore candidate set with the
+    kernel's visited log (the last `visited_pool` expanded nodes per
+    query) — int8 navigation misranks near-ties, and the true top-k
+    often sits among recently-expanded nodes the beam already dropped.
+    Costs one wider gather + rescore; no extra traversal."""
     q_bf = queries.astype(jnp.bfloat16)
     seed_dots = jnp.einsum(
         "md,bd->bm", seed_vecs, q_bf, preferred_element_type=jnp.float32
@@ -780,29 +792,44 @@ def _fused_search_jit(
     entry_sc, best = jax.lax.top_k(seed_scores, s_eff)
     entry = seed_ids[best]
 
-    beam_ids, _ = fused_beam_search(
+    n_sentinel = corpus.shape[0] - 1
+    outs = fused_beam_search(
         queries, blocks, meta, entry, entry_sc, exclude,
         r=r, beam_width=beam_width, max_iters=max_iters, metric=metric,
         expansions=expansions, qb=qb, ring_size=ring_size,
-        interpret=interpret,
+        track_visited=visited_pool, interpret=interpret,
     )
+    if visited_pool:
+        beam_ids, _, vlog = outs
+        cand = jnp.concatenate([beam_ids, vlog], axis=1)
+        # visited entries duplicate beam entries: sort-dedup (see
+        # pq_beam._pq_search_jit — post-top_k order comes from the
+        # rescore, so sorting is free)
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((cand.shape[0], 1), bool),
+             cand[:, 1:] == cand[:, :-1]], axis=1)
+        cand = jnp.where(dup, n_sentinel, cand)
+    else:
+        beam_ids, _ = outs
+        cand = beam_ids
 
-    n_sentinel = corpus.shape[0] - 1
-    rows = corpus[beam_ids].astype(jnp.float32)
+    rows = corpus[cand].astype(jnp.float32)
     dots = jnp.einsum(
         "bld,bd->bl", rows, queries,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     if metric == "l2":
-        scores = 2.0 * dots - corpus_nsq[beam_ids]
+        scores = 2.0 * dots - corpus_nsq[cand]
     else:
         scores = dots
-    scores = jnp.where(beam_ids == n_sentinel, NEG_INF, scores)
+    scores = jnp.where(cand == n_sentinel, NEG_INF, scores)
     # excluded ids can enter through the seed pool — drop them here
     scores = jnp.where(
-        beam_ids == exclude.astype(jnp.int32)[:, None], NEG_INF, scores
+        cand == exclude.astype(jnp.int32)[:, None], NEG_INF, scores
     )
-    top_scores, pos = jax.lax.top_k(scores, beam_ids.shape[1])
-    top_ids = jnp.take_along_axis(beam_ids, pos, axis=1)
+    k_out = beam_ids.shape[1]
+    top_scores, pos = jax.lax.top_k(scores, k_out)
+    top_ids = jnp.take_along_axis(cand, pos, axis=1)
     return top_ids, top_scores
