@@ -85,12 +85,15 @@ def main() -> None:
     from leann_tpu.ops.distance import ExactEngine
 
     log(f"devices: {jax.devices()}  backend: {BACKEND}")
-    rng = np.random.default_rng(0)
-    log(f"generating corpus N={N} D={D} ...")
-    pool = make_corpus(rng, N + RECALL_QUERIES + QUERY_BATCH, D)
+    log(f"corpus N={N} D={D} (cached pool if available) ...")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "evals"))
+    from corpus_cache import get_pool
+
+    pool = get_pool(N, D, extra=RECALL_QUERIES + QUERY_BATCH)
     corpus = pool[:N]
     queries = pool[N : N + RECALL_QUERIES]
-    qbatch = pool[N + RECALL_QUERIES :]
+    qbatch = pool[N + RECALL_QUERIES :]  # noqa: F841 (stream contract)
 
     # recall oracle BEFORE the engine exists: at 10M the engine + a
     # device-resident oracle together exhaust HBM; the functional

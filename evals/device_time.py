@@ -89,24 +89,36 @@ def main():
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"),
     )
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> -> stacks
+
     import jax
     import jax.numpy as jnp
 
     log(f"devices: {jax.devices()}")
     n, d, b = args.n, args.d, args.b
-    rng = np.random.default_rng(0)
-    # pool size MUST match bench.py/build_artifact.py exactly: a single
-    # PCG64 stream means a different total draw count changes the
-    # generator state for the noise draws — a different corpus — and
-    # the prebuilt graph artifacts would silently mismatch
-    pool = make_corpus(rng, n + 1024 + 2048, d)
+    from corpus_cache import get_pool
+
+    pool = get_pool(n, d)
     corpus, rq = pool[:n], pool[n : n + args.recall_q]
 
     from leann_tpu.ops.distance import exact_topk
 
-    log("oracle ...")
-    _, oracle = exact_topk(rq, corpus, args.k, metric="l2", two_stage=True)
-    oracle = np.asarray(oracle)
+    oc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts",
+        f"oracle_n{n}_d{d}_q{args.recall_q}.npz")
+    if os.path.exists(oc) and args.k <= 10:
+        oracle = np.load(oc)["oracle"][:, : args.k]
+        log(f"oracle cache {oc}")
+    else:
+        log("oracle ...")
+        _, oracle = exact_topk(
+            rq, corpus, args.k, metric="l2", two_stage=True)
+        oracle = np.asarray(oracle)
+        if args.k == 10:
+            np.savez_compressed(oc, oracle=oracle)
 
     # fresh query pool for timing: on-manifold, distinct per window
     def draw_qs(m, seed):
@@ -161,9 +173,36 @@ def main():
             # per hop: qb*e records of r*d int8 DMA'd + scored
             flops_per_batch = 0.0  # not matmul-roofline-shaped
             bytes_per_batch = 0.0
-            knobs = f"R={eng.r}, beam={args.beam}, fused-kernel"
+            knobs = (f"R={eng.r}, beam={args.beam}, fused-kernel, "
+                     f"visited={eng.visited_pool}")
             rec_ids, _ = eng.search_device(rq, k=args.k,
                                            beam_width=args.beam)
+        elif backend == "xla-graph":
+            # row-gather XLA traversal + visited-log merge: the 10M/
+            # odd-dim config where inline layouts exceed HBM
+            from leann_tpu.ops.beam import BeamSearchEngine
+
+            art = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "artifacts",
+                f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
+            if not os.path.exists(art):
+                log(f"no artifact {art}; skipping xla-graph")
+                continue
+            a = np.load(art)
+            t0 = time.time()
+            eng = BeamSearchEngine(
+                corpus, a["adjacency"], int(a["medoid"]), metric="l2",
+                block_mode="none")
+            log(f"engine up in {time.time()-t0:.0f}s")
+            call = lambda qs: eng.search_many_device(  # noqa: E731
+                qs, k=args.k, beam_width=args.beam)
+            flops_per_batch = 0.0
+            bytes_per_batch = 0.0
+            knobs = (f"R={a['adjacency'].shape[1]}, beam={args.beam}, "
+                     f"xla-row-gather, visited={eng.visited_pool}")
+            t0 = time.time()
+            rec_ids, _ = eng.search(rq, k=args.k, beam_width=args.beam)
+            log(f"recall batch (incl compile) {time.time()-t0:.0f}s")
         else:
             raise SystemExit(f"unknown backend {backend}")
 

@@ -63,10 +63,9 @@ def main():
 
     n, d, b = args.n, args.d, args.b
     log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(0)
-    # pool size MUST match bench.py (single PCG64 stream; see
-    # device_time.py comment)
-    pool = make_corpus(rng, n + 1024 + 2048, d)
+    from corpus_cache import get_pool
+
+    pool = get_pool(n, d)
     corpus, rq = pool[:n], pool[n : n + args.recall_q]
 
     art = args.artifact or os.path.join(

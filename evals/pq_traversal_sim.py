@@ -58,6 +58,11 @@ def main():
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"))
+    import faulthandler
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> -> stacks
+
     import jax
     import jax.numpy as jnp
 
@@ -69,12 +74,15 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "artifacts",
         f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
     log(f"devices: {jax.devices()}")
+    t0 = time.time()
     rng = np.random.default_rng(0)
     pool = make_corpus(rng, n + 1024 + 2048, d)
     corpus, queries = pool[:n], pool[n : n + args.queries]
+    log(f"corpus in {time.time()-t0:.0f}s")
+    t0 = time.time()
     a = np.load(art)
     adjacency, medoid = a["adjacency"], int(a["medoid"])
-    log(f"artifact {art} loaded")
+    log(f"artifact {art} loaded in {time.time()-t0:.0f}s")
 
     t0 = time.time()
     pc = os.path.join(

@@ -615,12 +615,18 @@ class PqBeamEngine:
         # |C|^2 folded into the L2 LUT
         self.books_sq = jnp.sum(self.books_dev * self.books_dev, axis=2)
 
-        # exact-rescore corpus (+ sentinel zero row)
+        # exact-rescore corpus (+ sentinel zero row). bf16 casts on the
+        # HOST: a device-side f32 staging copy would transiently need
+        # records + f32 + bf16 resident together (16GB at 10M x 96 —
+        # over one v5e HBM)
         corpus1 = np.concatenate(
             [vectors, np.zeros((1, self.d), np.float32)], axis=0)
-        self.corpus = jnp.asarray(corpus1)
         if rescore == "bf16":
-            self.corpus = self.corpus.astype(jnp.bfloat16)
+            import ml_dtypes
+
+            self.corpus = jnp.asarray(corpus1.astype(ml_dtypes.bfloat16))
+        else:
+            self.corpus = jnp.asarray(corpus1)
         self.corpus_nsq = jnp.asarray(
             (corpus1.astype(np.float64) ** 2).sum(axis=1).astype(np.float32))
 
