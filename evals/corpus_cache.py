@@ -25,6 +25,55 @@ def make_corpus(rng, n, d, clusters=1024):
             + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
 
 
+def make_corpus_hard(
+    rng,
+    n: int,
+    d: int,
+    clusters: int = 1024,
+    center_scale: float = 4.0,
+    sigma: float = 1.0,
+    anisotropy: float = 0.0,
+    zipf: float = 0.0,
+) -> np.ndarray:
+    """Parameterized mixture generator for the hardness sweep.
+
+    The default bench corpus (make_corpus: 1024 isotropic equal-mass
+    clusters, centers ~ 4x N(0,1)) is FRIENDLY: high center separation
+    and low intrinsic dimension flatter every ANN method. Knobs that
+    make it harder (VERDICT r2 next-round #8):
+
+      clusters      64 -> 16384: fewer = coarser IVF partitions help;
+                    more = cluster structure approaches uniform noise
+      center_scale  4.0 -> 1.0: cluster overlap. At 1.0 the between/
+                    within variance ratio is ~1 and neighborhoods blur
+      sigma         within-cluster spread (same axis, inverse)
+      anisotropy    a > 0 scales each cluster's noise per-dimension by
+                    exp(a * N(0,1)) — stretched ellipsoids; distance
+                    contrast varies per cluster and per axis
+      zipf          s > 0 draws cluster masses ~ (rank)^-s — a few huge
+                    clusters (local crowding) + a long tail of near-
+                    singletons (sparse regions), like real web corpora
+
+    center_scale=0 with clusters=1 degenerates to uniform gaussian —
+    the no-structure adversarial floor for ANY sublinear method."""
+    centers = rng.standard_normal((clusters, d)).astype(np.float32)
+    centers *= np.float32(center_scale)
+    if zipf > 0.0:
+        mass = (np.arange(1, clusters + 1, dtype=np.float64)) ** (-zipf)
+        mass /= mass.sum()
+        assign = rng.choice(clusters, size=n, p=mass)
+    else:
+        assign = rng.integers(0, clusters, n)
+    noise = rng.standard_normal((n, d)).astype(np.float32)
+    noise *= np.float32(sigma)
+    if anisotropy > 0.0:
+        scales = np.exp(
+            anisotropy * rng.standard_normal((clusters, d))
+        ).astype(np.float32)
+        noise *= scales[assign]
+    return (centers[assign] + noise).astype(np.float32)
+
+
 def get_pool(n: int, d: int, extra: int = 1024 + 2048,
              clusters: int = 1024, seed: int = 0) -> np.ndarray:
     """The bench pool [n + extra, d]: corpus rows first, then recall
