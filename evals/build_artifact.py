@@ -34,13 +34,6 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def make_corpus(rng, n, d, clusters=1024):
-    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
-    assign = rng.integers(0, clusters, n)
-    return (centers[assign]
-            + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
-
-
 def main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -49,11 +42,11 @@ def main():
     )
     import jax
 
+    from corpus_cache import get_pool
     from leann_tpu.ops.vamana import build_vamana
 
     log(f"devices: {jax.devices()}")
-    rng = np.random.default_rng(0)
-    pool = make_corpus(rng, N + 1024 + 2048, D)
+    pool = get_pool(N, D)
     corpus = pool[:N]
     t0 = time.time()
     adjacency, medoid = build_vamana(

@@ -32,7 +32,14 @@ os.environ.setdefault(
 N = int(os.environ.get("RS_N", 100_000))
 T = int(os.environ.get("RS_T", 48))
 NQ = 256
-BEAM = 32
+# beam x visited-pool sweep: the visited log's scores are already exact
+# (computed at expansion time), so merging a bigger pool into the
+# final top-k raises recall at ZERO extra encoder forwards; wider beams
+# pay real encoder work. Sweep both to find the cheapest >= 0.95 point.
+BEAMS = tuple(
+    int(b) for b in os.environ.get("RS_BEAMS", "32,48,64").split(","))
+VISITED = tuple(
+    int(v) for v in os.environ.get("RS_VISITED", "128,256").split(","))
 
 
 def log(m):
@@ -72,27 +79,34 @@ def main():
     queries = vectors[q_ids]
     _, oracle = exact_topk(queries, vectors, 10, metric="ip")
 
-    engine = RecomputeBeamEngine(tok, mask, adjacency, medoid, enc,
-                                 metric="ip")
-    idx, _ = engine.search(queries, k=10, beam_width=BEAM)  # compile
-    t0 = time.time()
-    idx, _ = engine.search(queries + 0, k=10, beam_width=BEAM)
-    lat = time.time() - t0
-    hits = sum(
-        len(set(idx[i].tolist()) & set(oracle[i].tolist()))
-        for i in range(NQ)
-    )
-    rec = hits / (NQ * 10)
+    import json
 
     stored_mb = vectors.nbytes / 2**20
     pruned_mb = (tok.nbytes + 4 * N + adjacency.nbytes) / 2**20
-    log(
-        f"recompute search: recall@10={rec:.4f}  "
-        f"qps={NQ / lat:.1f} (batch {NQ}, beam {BEAM})  "
-        f"stored={stored_mb:.0f}MB pruned={pruned_mb:.0f}MB "
-        f"ratio={pruned_mb / stored_mb:.3f} "
-        f"({stored_mb / pruned_mb:.1f}x smaller)"
-    )
+    oracle = np.asarray(oracle)
+    for visited in VISITED:
+        engine = RecomputeBeamEngine(tok, mask, adjacency, medoid, enc,
+                                     metric="ip", visited_pool=visited)
+        for beam in BEAMS:
+            idx, _ = engine.search(queries, k=10, beam_width=beam)  # compile
+            t0 = time.time()
+            idx, _ = engine.search(queries + 0, k=10, beam_width=beam)
+            lat = time.time() - t0
+            hits = sum(
+                len(set(idx[i].tolist()) & set(oracle[i].tolist()))
+                for i in range(NQ)
+            )
+            rec = hits / (NQ * 10)
+            print(json.dumps({
+                "config": 3, "n": N, "t": T, "beam": beam,
+                "visited": visited,
+                "recall_at_10": round(rec, 4),
+                "qps": round(NQ / lat, 2),
+                "stored_mb": round(stored_mb),
+                "pruned_mb": round(pruned_mb),
+                "storage_win": round(stored_mb / pruned_mb, 1),
+            }), flush=True)
+        del engine
 
 
 if __name__ == "__main__":

@@ -1,0 +1,58 @@
+#!/bin/bash
+# Round-3 measurement battery (run on the real TPU chip).
+# Fills every TBD row in evals/RESULTS_r3.md. Each step appends JSON to
+# evals/artifacts/r3_results.jsonl and full logs to evals/artifacts/r3_logs/.
+# Steps are independent; rerun any that fail.
+set -u
+cd "$(dirname "$0")/.."
+export PYTHONPATH=/root/repo:/root/.axon_site
+export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
+OUT=evals/artifacts/r3_results.jsonl
+LOGS=evals/artifacts/r3_logs
+mkdir -p "$LOGS"
+
+run() { # name, timeout_s, cmd...
+  local name=$1 t=$2; shift 2
+  echo "=== $name ===" >&2
+  if timeout "$t" "$@" >>"$OUT" 2>"$LOGS/$name.log"; then
+    echo "--- $name OK" >&2
+  else
+    echo "--- $name FAILED (see $LOGS/$name.log)" >&2
+  fi
+}
+
+# 1. device-time truth at 1M x 128: ivf + fused graph (flat already done)
+run ivf_vamana_1m 3600 \
+  python evals/device_time.py --backend ivf,vamana --n 1000000 --d 128
+
+# 2a. PQ fused engine at 1M x 128 (same artifact as the fused row)
+run pq_1m 3600 \
+  python evals/pq_device_check.py --n 1000000 --d 128 --m 16 --ksub 256
+
+# 2b. PQ fused engine at DEEP-10M shape (the round-3 flagship row)
+run pq_10m 7200 \
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
+    --rescore bf16
+
+# 2c. XLA row-gather at 10M (the round-2 serving path, for contrast)
+run xla_10m 7200 \
+  python evals/device_time.py --backend xla-graph --n 10000000 --d 96
+
+# 3. build-wave pipelining: 1M x 128 R48 L80 2-pass end-to-end
+# (ART_OUT to a scratch path: the committed artifact must not change
+# mid-round — the oracle/PQ caches key on it)
+run build_1m 5400 \
+  env ART_N=1000000 ART_D=128 ART_R=48 ART_L=80 \
+      ART_OUT=/tmp/vamana_rebuild_check.npz LEANN_BUILD_PROFILE=1 \
+  python evals/build_artifact.py
+
+# 5. pruned-recompute sweep (beam x visited) at 100k
+run recompute_100k 5400 python evals/recompute_scale.py
+
+# 6. config-0 recall parity at 20k x 768 (beam sweep; CPU sweep first)
+run config0 3600 python evals/run_eval.py --configs 0 --scale 1.0
+
+# 8. hardness sweep at 200k (all 9 configs, ivf + graph)
+run hardness 10800 python evals/hardness_sweep.py --n 200000 --d 128
+
+echo "battery done; results in $OUT" >&2
