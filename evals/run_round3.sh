@@ -38,6 +38,16 @@ run pq_10m 7200 \
 run xla_10m 7200 \
   python evals/device_time.py --backend xla-graph --n 10000000 --d 96
 
+# 2d. second Vamana pass over the 10M artifact (recall 0.902 -> target
+# >= 0.95), then re-measure the PQ engine on the refined graph.
+# LONG (~2-3h device time); comment out if the chip window is short.
+run refine_10m 14400 \
+  python evals/refine_artifact.py --n 10000000 --d 96 --l 64
+run pq_10m_p2 7200 \
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
+    --rescore bf16 \
+    --artifact evals/artifacts/vamana_n10000000_r48_l64p2.npz
+
 # 3. build-wave pipelining: 1M x 128 R48 L80 2-pass end-to-end
 # (ART_OUT to a scratch path: the committed artifact must not change
 # mid-round — the oracle/PQ caches key on it)
