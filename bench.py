@@ -57,17 +57,6 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_corpus(rng, n: int, d: int, clusters: int = 1024) -> np.ndarray:
-    """SIFT-like synthetic data: a mixture of gaussians, giving realistic
-    low intrinsic dimensionality (uniform gaussian in 128-d has no
-    neighborhood structure and is adversarially hard for ANY ANN method)."""
-    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
-    assign = rng.integers(0, clusters, n)
-    return (
-        centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
-    ).astype(np.float32)
-
-
 def main() -> None:
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",

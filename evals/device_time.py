@@ -43,14 +43,6 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_corpus(rng, n, d, clusters=1024):
-    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
-    assign = rng.integers(0, clusters, n)
-    return (
-        centers[assign] + rng.standard_normal((n, d)).astype(np.float32)
-    ).astype(np.float32)
-
-
 def time_many(engine_call, qs_dev, reps):
     """Run `engine_call(qs_dev[i])` for reps distinct windows; each call
     is ONE dispatch of M batches. Returns per-window seconds list."""

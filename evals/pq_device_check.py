@@ -27,13 +27,6 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def make_corpus(rng, n, d, clusters=1024):
-    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
-    assign = rng.integers(0, clusters, n)
-    return (centers[assign]
-            + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
