@@ -492,6 +492,26 @@ def beam_search_recompute_batch(
 # ---------------------------------------------------------------- host API
 
 
+def seed_pool_size(n: int) -> int:
+    """Entry-seed pool size shared by every traversal engine.
+
+    Coverage math: a region holding f of the corpus is unseeded with
+    probability (1-f)^pool ~ exp(-f*pool). The old 1024 floor left
+    ~13% of a 500-cluster corpus unseeded (e^-2) — measured as the
+    config-0 recall ceiling (~0.988 at any beam/L): queries whose
+    cluster never got a seed must cross clusters on alpha-pruned long
+    edges, which high-d well-separated mixtures rarely keep. A 4096
+    floor drives that to e^-8 (~0.03%); the per-query cost is one
+    [B, pool] bf16 matmul — noise next to a single hop. Override with
+    LEANN_SEED_POOL."""
+    import os
+
+    env = os.environ.get("LEANN_SEED_POOL")
+    if env:
+        return int(min(int(env), max(1, n)))
+    return int(min(max(4096, 4 * int(n ** 0.5)), max(1, n)))
+
+
 def _bucket(b: int) -> int:
     """Pad batch sizes to powers of two so jit caches stay small."""
     size = 8
@@ -560,7 +580,7 @@ class BeamSearchEngine:
         # best seeds — on clustered corpora this lands the descent
         # inside the right region immediately
         rng = np.random.default_rng(0)
-        pool = int(min(max(1024, 4 * int(self.n ** 0.5)), max(1, self.n)))
+        pool = seed_pool_size(self.n)
         seeds = rng.choice(self.n, size=pool, replace=False)
         self.seed_ids = jnp.asarray(
             np.unique(np.concatenate([[medoid], seeds])).astype(np.int32)

@@ -667,8 +667,10 @@ class FusedBeamEngine:
         self.sq_norms = jnp.asarray((vf * vf).sum(axis=1))
         self.blocks, self.meta = pack_fused(self.vectors, jnp.asarray(adj))
 
+        from leann_tpu.ops.beam import seed_pool_size
+
         rng = np.random.default_rng(seed)
-        pool = int(min(max(1024, 4 * int(self.n ** 0.5)), max(1, self.n)))
+        pool = seed_pool_size(self.n)
         seeds = rng.choice(self.n, size=pool, replace=False)
         self.seed_ids = jnp.asarray(
             np.unique(np.concatenate([[medoid], seeds])).astype(np.int32)

@@ -631,7 +631,9 @@ class PqBeamEngine:
             (corpus1.astype(np.float64) ** 2).sum(axis=1).astype(np.float32))
 
         # seed pool (exact vectors, tiny)
-        pool = int(min(max(1024, 4 * int(self.n ** 0.5)), max(1, self.n)))
+        from leann_tpu.ops.beam import seed_pool_size
+
+        pool = seed_pool_size(self.n)
         seeds = rng.choice(self.n, size=pool, replace=False)
         self.seed_ids = jnp.asarray(
             np.unique(np.concatenate([[medoid], seeds])).astype(np.int32)

@@ -204,11 +204,22 @@ def test_seed_pool_scales_with_n():
         dtype=np.int32,
     )
     engine = BeamSearchEngine(x, adjacency, medoid=0, metric="l2")
-    # pool ~ max(1024, 4*sqrt(4000)) = 1024 (deduped, so <= 1025)
-    assert 250 <= engine.seed_ids.shape[0] <= 1025
+    # pool floor is 4096 (seed coverage: see ops/beam.py seed_pool_size),
+    # clamped to n; at n=4000 the whole corpus is eligible
+    assert 3000 <= engine.seed_ids.shape[0] <= 4001
     # entries respect the beam: n_entries = min(16, beam // 2)
     idx, _ = engine.search(x[:8], k=3, beam_width=8)
     assert idx.shape == (8, 3)
+
+
+def test_seed_pool_size_policy(monkeypatch):
+    from leann_tpu.ops.beam import seed_pool_size
+
+    assert seed_pool_size(100) == 100          # clamped to n
+    assert seed_pool_size(100_000) == 4096     # floor
+    assert seed_pool_size(4_000_000) == 8000   # 4*sqrt(n) beyond 1M
+    monkeypatch.setenv("LEANN_SEED_POOL", "512")
+    assert seed_pool_size(100_000) == 512      # env override
 
 
 @pytest.mark.parametrize("mode", ["int8", "bf16", "none"])
