@@ -25,6 +25,11 @@ run() { # name, timeout_s, cmd...
 run ivf_vamana_1m 3600 \
   python evals/device_time.py --backend ivf,vamana --n 1000000 --d 128
 
+# 1b. batch-scaling check: flat + ivf at B=8192 (VERDICT r2 next #1)
+run flat_ivf_8k 3600 \
+  python evals/device_time.py --backend flat,ivf --n 1000000 --d 128 \
+    --b 8192
+
 # 2a. PQ fused engine at 1M x 128 (same artifact as the fused row)
 run pq_1m 3600 \
   python evals/pq_device_check.py --n 1000000 --d 128 --m 16 --ksub 256

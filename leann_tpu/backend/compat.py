@@ -28,6 +28,17 @@ def sniff_foreign_index(index_dir: str, base_name: str = "documents.leann") -> O
     if any(head.startswith(m) for m in _FAISS_MAGICS) or head[:2] == b"Ix":
         kind = "FAISS (Python LEANN)"
     else:
+        from leann_tpu.backend.usearch_import import looks_like_usearch
+
+        if looks_like_usearch(path):
+            return (
+                f"Found a usearch (leann-rs) binary index at {path}. "
+                "Its embedded vectors can be imported directly — no "
+                "re-embedding needed:\n"
+                "  leann-tpu reindex <name>\n"
+                "(backend/usearch_import.py parses the usearch v2 "
+                "format; falls back to `build --force` if parsing fails)"
+            )
         kind = "usearch (leann-rs)"
     return (
         f"Found a {kind} binary index at {path}. This TPU engine uses its "

@@ -11,6 +11,7 @@ which re-embeds the whole corpus.)
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -45,6 +46,45 @@ def add_parser(sub):
     p.set_defaults(func=run)
 
 
+def _recover_from_usearch(base: str, meta: IndexMeta) -> bool:
+    """Pruned index + foreign usearch `.index` binary: recover the
+    embedding matrix from the binary itself (usearch's default
+    serialization embeds the raw f32 vectors —
+    `/root/reference/src/backend/hnsw.rs:133-135` saves with defaults)
+    and write it back to the `.embeddings` store so the normal reindex
+    path proceeds. Returns True on success."""
+    from leann_tpu.backend.usearch_import import (
+        UsearchParseError, looks_like_usearch, parse_usearch_index,
+        to_key_order)
+    from leann_tpu.store.embeddings import embeddings_path
+
+    path = base + ".index"
+    if not os.path.exists(path) or not looks_like_usearch(path):
+        return False
+    try:
+        data = parse_usearch_index(path)
+        vectors, _, _ = to_key_order(data)
+    except UsearchParseError as e:
+        print(f"usearch import failed ({e}); falling back.",
+              file=sys.stderr)
+        return False
+    if vectors is None:
+        print("usearch index was saved without vectors; cannot recover "
+              "embeddings from it.", file=sys.stderr)
+        return False
+    if meta.dimensions and vectors.shape[1] != meta.dimensions:
+        print(f"usearch index is {vectors.shape[1]}-d but meta says "
+              f"{meta.dimensions}-d; not importing.", file=sys.stderr)
+        return False
+    print(f"Recovered {vectors.shape[0]} x {vectors.shape[1]} f32 "
+          f"embeddings from the usearch binary at {path}")
+    np.ascontiguousarray(vectors, dtype="<f4").tofile(
+        embeddings_path(base))
+    meta.is_pruned = False
+    meta.save(meta_path(base))
+    return True
+
+
 def run(args) -> int:
     try:
         index_dir = find_index(args.index_name)
@@ -54,9 +94,11 @@ def run(args) -> int:
     base = index_base(index_dir)
     meta = IndexMeta.load(meta_path(base))
     if meta.is_pruned or not EmbeddingsStore.exists(base):
-        print("No stored embeddings (index is pruned); reindex requires "
-              "them. Rebuild with `build --force` instead.", file=sys.stderr)
-        return 1
+        if not _recover_from_usearch(base, meta):
+            print("No stored embeddings (index is pruned); reindex "
+                  "requires them. Rebuild with `build --force` instead.",
+                  file=sys.stderr)
+            return 1
 
     backend = resolve_backend(args.backend_name or meta.backend_name)
     metric = args.metric or getattr(meta, "metric", "ip")
