@@ -2,7 +2,9 @@
 # Round-3 measurement battery (run on the real TPU chip).
 # Fills every TBD row in evals/RESULTS_r3.md. Each step appends JSON to
 # evals/artifacts/r3_results.jsonl and full logs to evals/artifacts/r3_logs/.
-# Steps are independent; rerun any that fail.
+# Steps are independent; rerun any that fail. Ordered so the quick,
+# high-priority rows land first in case the chip window is short; the
+# multi-hour steps (10M refine pass, hardness sweep) run last.
 set -u
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -13,11 +15,11 @@ mkdir -p "$LOGS"
 
 run() { # name, timeout_s, cmd...
   local name=$1 t=$2; shift 2
-  echo "=== $name ===" >&2
+  echo "=== $name $(date -u +%H:%M:%S) ===" >&2
   if timeout "$t" "$@" >>"$OUT" 2>"$LOGS/$name.log"; then
-    echo "--- $name OK" >&2
+    echo "--- $name OK $(date -u +%H:%M:%S)" >&2
   else
-    echo "--- $name FAILED (see $LOGS/$name.log)" >&2
+    echo "--- $name FAILED (see $LOGS/$name.log) $(date -u +%H:%M:%S)" >&2
   fi
 }
 
@@ -29,6 +31,10 @@ run ivf_vamana_1m 3600 \
 run flat_ivf_8k 3600 \
   python evals/device_time.py --backend flat,ivf --n 1000000 --d 128 \
     --b 8192
+
+# 6. config-0 recall parity at 20k x 768 (quick; validates the 4096
+# seed-pool floor on chip)
+run config0 3600 python evals/run_eval.py --configs 0 --scale 1.0
 
 # 2a. PQ fused engine at 1M x 128 (same artifact as the fused row)
 run pq_1m 3600 \
@@ -43,16 +49,6 @@ run pq_10m 7200 \
 run xla_10m 7200 \
   python evals/device_time.py --backend xla-graph --n 10000000 --d 96
 
-# 2d. second Vamana pass over the 10M artifact (recall 0.902 -> target
-# >= 0.95), then re-measure the PQ engine on the refined graph.
-# LONG (~2-3h device time); comment out if the chip window is short.
-run refine_10m 14400 \
-  python evals/refine_artifact.py --n 10000000 --d 96 --l 64
-run pq_10m_p2 7200 \
-  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
-    --rescore bf16 \
-    --artifact evals/artifacts/vamana_n10000000_r48_l64p2.npz
-
 # 3. build-wave pipelining: 1M x 128 R48 L80 2-pass end-to-end
 # (ART_OUT to a scratch path: the committed artifact must not change
 # mid-round — the oracle/PQ caches key on it)
@@ -64,8 +60,15 @@ run build_1m 5400 \
 # 5. pruned-recompute sweep (beam x visited) at 100k
 run recompute_100k 5400 python evals/recompute_scale.py
 
-# 6. config-0 recall parity at 20k x 768 (beam sweep; CPU sweep first)
-run config0 3600 python evals/run_eval.py --configs 0 --scale 1.0
+# 2d. second Vamana pass over the 10M artifact (recall 0.902 -> target
+# >= 0.95), then re-measure the PQ engine on the refined graph.
+# LONG (~2-3h device time).
+run refine_10m 14400 \
+  python evals/refine_artifact.py --n 10000000 --d 96 --l 64
+run pq_10m_p2 7200 \
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
+    --rescore bf16 \
+    --artifact evals/artifacts/vamana_n10000000_r48_l64p2.npz
 
 # 8. hardness sweep at 200k (all 9 configs, ivf + graph)
 run hardness 10800 python evals/hardness_sweep.py --n 200000 --d 128

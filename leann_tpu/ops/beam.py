@@ -33,6 +33,7 @@ cycles in the beam itself.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -429,7 +430,7 @@ def beam_search_inline_batch(
     jax.jit,
     static_argnames=(
         "beam_width", "max_iters", "metric", "hash_bits", "config",
-        "expansions", "visited_pool",
+        "expansions", "visited_pool", "n_entries",
     ),
 )
 def beam_search_recompute_batch(
@@ -447,6 +448,9 @@ def beam_search_recompute_batch(
     hash_bits: int = 12,
     expansions: int = 1,
     visited_pool: int = 128,
+    seed_ids: Optional[jnp.ndarray] = None,    # [M] int32 shared pool
+    seed_vecs: Optional[jnp.ndarray] = None,   # [M, D] f32 cached embeds
+    n_entries: int = 8,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The LEANN trick, fused: no stored vectors exist — every hop's
     candidates are re-embedded by the BERT encoder *inside* the traversal
@@ -456,7 +460,14 @@ def beam_search_recompute_batch(
     logged node's score is already an exact fresh-embedding score
     (computed at expansion time), so recovering true neighbors the beam
     dropped costs ZERO extra encoder forwards — the cheapest possible
-    recall lever in the one mode where scoring is expensive."""
+    recall lever in the one mode where scoring is expensive.
+
+    seed_ids/seed_vecs: query-adaptive entry selection for the pruned
+    mode. The pool's embeddings are computed ONCE at engine build (the
+    only extra encoder cost); per query, one [B, M] matmul picks the
+    n_entries best starts — the same cluster-coverage lever the
+    stored-vector engines use (seed_pool_size rationale), at zero
+    per-query encoder forwards."""
     from leann_tpu.models.bert import bert_forward
 
     n_sentinel = token_ids.shape[0] - 1
@@ -479,10 +490,25 @@ def beam_search_recompute_batch(
         nbrs = adjacency[u].reshape(q.shape[0], -1)
         return nbrs, score_fn(q, nbrs)
 
+    entry_sc = None
+    if seed_vecs is not None:
+        seed_dots = jnp.einsum(
+            "md,bd->bm", seed_vecs, queries,
+            preferred_element_type=jnp.float32)
+        if metric == "l2":
+            seed_scores = (
+                2.0 * seed_dots
+                - jnp.sum(seed_vecs * seed_vecs, axis=1)[None, :])
+        else:
+            seed_scores = seed_dots
+        s_eff = min(n_entries, int(seed_ids.shape[0]), beam_width)
+        entry_sc, best = jax.lax.top_k(seed_scores, s_eff)
+        entry = seed_ids[best]                               # [B, S]
+
     beam_ids, beam_sc, vlog_ids, vlog_sc = _beam_search_core(
         queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
-        track_visited=visited_pool,
+        track_visited=visited_pool, entry_scores=entry_sc,
     )
     if not visited_pool:
         return beam_ids, beam_sc
@@ -504,8 +530,6 @@ def seed_pool_size(n: int) -> int:
     floor drives that to e^-8 (~0.03%); the per-query cost is one
     [B, pool] bf16 matmul — noise next to a single hop. Override with
     LEANN_SEED_POOL."""
-    import os
-
     env = os.environ.get("LEANN_SEED_POOL")
     if env:
         return int(min(int(env), max(1, n)))
@@ -776,6 +800,7 @@ class RecomputeBeamEngine:
         metric: str = "ip",
         hash_bits: int = 12,
         visited_pool: int = 128,
+        seed_pool: Optional[int] = None,   # 0 disables; None = default
     ):
         self.visited_pool = visited_pool
         self.n, t = token_ids.shape
@@ -789,12 +814,47 @@ class RecomputeBeamEngine:
             np.concatenate([attn_mask, np.zeros((1, t), np.int32)])
         )
         adj = np.ascontiguousarray(adjacency, dtype=np.int32)
+        r = adj.shape[1]
         if adj.shape[0] == self.n:
             adj = np.concatenate(
-                [adj, np.full((1, adj.shape[1]), self.n, np.int32)]
+                [adj, np.full((1, r), self.n, np.int32)]
             )
         self.adjacency = jnp.asarray(adj)
         self.medoid = jnp.int32(medoid)
+
+        # Query-adaptive entries without stored vectors: embed a fixed
+        # seed pool ONCE here (the only extra encoder work), then every
+        # query starts from its best pool members via one matmul. Pool =
+        # high-in-degree hubs (well-connected region centers under the
+        # alpha prune) + a uniform sample for cluster coverage. Without
+        # this the pruned mode descends from the single medoid and pays
+        # the same unseeded-cluster recall ceiling the stored-vector
+        # engines had (see seed_pool_size).
+        if seed_pool is None:
+            seed_pool = int(os.environ.get("LEANN_RECOMPUTE_SEEDS", 1024))
+        self.seed_ids = self.seed_vecs = None
+        if seed_pool and self.n > 1:
+            pool = min(seed_pool, self.n)
+            indeg = np.bincount(
+                adj[:-1][adj[:-1] < self.n], minlength=self.n)
+            n_hub = min(max(pool // 4, 1), self.n)
+            hubs = np.argpartition(indeg, -n_hub)[-n_hub:]
+            rng = np.random.default_rng(0)
+            rand = rng.choice(self.n, size=pool, replace=False)
+            seed = np.unique(np.concatenate(
+                [[int(medoid)], hubs, rand])).astype(np.int32)
+            # pad to a power-of-two row count so this one-time encode
+            # reuses the traversal's jit bucket instead of compiling a
+            # unique [len(seed), T] forward
+            s, sb = len(seed), _bucket(len(seed))
+            tok = np.zeros((sb, t), np.int32)
+            msk = np.zeros((sb, t), np.int32)
+            tok[:s] = np.asarray(self.token_ids)[seed]
+            msk[:s] = np.asarray(self.attn_mask)[seed]
+            vecs = encoder.encode_tokens(tok, msk)[:s]
+            self.seed_ids = jnp.asarray(seed)
+            self.seed_vecs = jnp.asarray(
+                np.ascontiguousarray(vecs, np.float32))
 
     def search(
         self, queries: np.ndarray, k: int = 10, beam_width: int = 32,
@@ -822,6 +882,9 @@ class RecomputeBeamEngine:
             config=self.encoder.config,
             hash_bits=self.hash_bits,
             visited_pool=self.visited_pool,
+            seed_ids=self.seed_ids,
+            seed_vecs=self.seed_vecs,
+            n_entries=min(16, max(1, beam_width // 2)),
         )
         k = min(k, ids.shape[1])
         idx = np.asarray(ids[:b, :k])

@@ -164,3 +164,39 @@ def test_nonlocal_model_name_errors_offline(tmp_path, monkeypatch):
     monkeypatch.setenv("HF_HOME", str(tmp_path / "hfhome"))
     with pytest.raises(RuntimeError, match="hub"):
         BertEncoder(model_dir="no-such-org/no-such-model-xyz")
+
+
+def test_recompute_seed_entries_lift_recall():
+    """Query-adaptive seed entries (pool embedded once at build) must not
+    hurt vs medoid-only, and the engine exposes the cached pool."""
+    from leann_tpu.ops.beam import RecomputeBeamEngine
+    from leann_tpu.ops.distance import exact_topk
+    from leann_tpu.ops.vamana import build_vamana
+
+    enc = BertEncoder(config=BertConfig.tiny())
+    texts = [f"cluster {i % 17} item {i} payload {i % 5}" for i in range(300)]
+    vectors = enc.embed(texts)
+    tok, mask = enc.tokenize_corpus(texts, max_length=16)
+    adjacency, medoid = build_vamana(
+        vectors, graph_degree=10, complexity=20, metric="ip", wave_size=64
+    )
+    queries = vectors[[7, 70, 170, 250]]
+    _, oracle = exact_topk(queries, vectors, 5, metric="ip")
+    oracle = np.asarray(oracle)
+
+    def recall(engine):
+        idx, _ = engine.search(queries, k=5, beam_width=20)
+        return np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 5
+            for a, b in zip(idx, oracle)
+        ])
+
+    seeded = RecomputeBeamEngine(
+        tok, mask, adjacency, medoid, enc, metric="ip", seed_pool=64)
+    assert seeded.seed_ids is not None
+    assert seeded.seed_vecs.shape[0] == seeded.seed_ids.shape[0]
+    medoid_only = RecomputeBeamEngine(
+        tok, mask, adjacency, medoid, enc, metric="ip", seed_pool=0)
+    assert medoid_only.seed_ids is None
+    assert recall(seeded) >= recall(medoid_only) - 1e-9
+    assert recall(seeded) >= 0.8
