@@ -36,6 +36,11 @@ run flat_ivf_8k 3600 \
 # seed-pool floor on chip)
 run config0 3600 python evals/run_eval.py --configs 0 --scale 1.0
 
+# 4. fused kernel under shard_map on the real chip (Mosaic-in-shard_map
+# hardware shakeout; single shard == the per-shard DEEP program)
+run sharded_fused 3600 \
+  python evals/sharded_device_check.py --n 1000000 --d 128
+
 # 2a. PQ fused engine at 1M x 128 (same artifact as the fused row)
 run pq_1m 3600 \
   python evals/pq_device_check.py --n 1000000 --d 128 --m 16 --ksub 256

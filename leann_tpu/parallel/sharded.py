@@ -235,7 +235,9 @@ class ShardedGraphIndex:
             # per-shard seed pools (true vectors, bf16) for query-
             # adaptive entry selection inside the shard body
             rng = np.random.default_rng(seed)
-            pool = int(min(1024, self.rows))
+            from leann_tpu.ops.beam import seed_pool_size
+
+            pool = seed_pool_size(self.rows)
             sid = np.zeros((self.n_shards, pool), np.int32)
             for s in range(self.n_shards):
                 valid = min(self.rows, max(1, self.n - s * self.rows))
