@@ -134,7 +134,9 @@ class GraphSearcher:
                 metric=metric,
                 m=m,
                 ksub=256,
-                rescore="bf16",
+                # int8 rescore (~half the corpus bytes) is the fallback
+                # when records + bf16 don't fit beside the runtime
+                rescore=os.environ.get("LEANN_PQ_RESCORE", "bf16"),
                 qb=int(os.environ.get("LEANN_FUSED_QB", 16)),
                 codebooks=books,
                 codes=codes,

@@ -563,7 +563,7 @@ class PqBeamEngine:
         qb: int = 16,
         ring_size: int = 1024,
         visited_pool: int = 256,
-        rescore: str = "f32",     # "f32" | "bf16"
+        rescore: str = "f32",     # "f32" | "bf16" | "int8"
         train_sample: int = 262_144,
         kmeans_iters: int = 10,
         interpret: bool = False,
@@ -615,16 +615,27 @@ class PqBeamEngine:
         # |C|^2 folded into the L2 LUT
         self.books_sq = jnp.sum(self.books_dev * self.books_dev, axis=2)
 
-        # exact-rescore corpus (+ sentinel zero row). bf16 casts on the
-        # HOST: a device-side f32 staging copy would transiently need
+        # exact-rescore corpus (+ sentinel zero row). bf16/int8 cast on
+        # the HOST: a device-side f32 staging copy would transiently need
         # records + f32 + bf16 resident together (16GB at 10M x 96 —
-        # over one v5e HBM)
+        # over one v5e HBM). int8 (row-quantized, scale folded into the
+        # gather) halves that again to ~1GB at 10M — the OOM fallback
+        # when records + bf16 don't fit beside the runtime.
         corpus1 = np.concatenate(
             [vectors, np.zeros((1, self.d), np.float32)], axis=0)
+        self.corpus_scale = None
         if rescore == "bf16":
             import ml_dtypes
 
             self.corpus = jnp.asarray(corpus1.astype(ml_dtypes.bfloat16))
+        elif rescore == "int8":
+            scale = np.maximum(
+                np.abs(corpus1).max(axis=1), 1e-12).astype(np.float32)
+            q8 = np.clip(
+                np.round(corpus1 / scale[:, None] * 127.0), -127, 127
+            ).astype(np.int8)
+            self.corpus = jnp.asarray(q8)
+            self.corpus_scale = jnp.asarray(scale / 127.0)
         else:
             self.corpus = jnp.asarray(corpus1)
         self.corpus_nsq = jnp.asarray(
@@ -679,7 +690,8 @@ class PqBeamEngine:
         mi = max_iters or (4 * beam_width) // 2 + 32
         ids, scores = _pq_search_jit(
             jnp.asarray(q), self.records, self.books_dev, self.books_sq,
-            self.corpus, self.corpus_nsq, self.seed_ids, self.seed_vecs_hat,
+            self.corpus, self.corpus_nsq, self.corpus_scale,
+            self.seed_ids, self.seed_vecs_hat,
             self.seed_hat_nsq, jnp.asarray(exc),
             self.r, self.m, self.ksub, self.bits, beam_width, mi,
             self.metric, self.qb, self.ring_size, self.visited_pool, k,
@@ -697,7 +709,8 @@ class PqBeamEngine:
         mi = max_iters or (4 * beam_width) // 2 + 32
         return _pq_search_many_jit(
             qs, self.records, self.books_dev, self.books_sq,
-            self.corpus, self.corpus_nsq, self.seed_ids, self.seed_vecs_hat,
+            self.corpus, self.corpus_nsq, self.corpus_scale,
+            self.seed_ids, self.seed_vecs_hat,
             self.seed_hat_nsq, exc,
             self.r, self.m, self.ksub, self.bits, beam_width, mi,
             self.metric, self.qb, self.ring_size, self.visited_pool, k,
@@ -712,7 +725,7 @@ class PqBeamEngine:
                      "interpret"),
 )
 def _pq_search_jit(
-    queries, records, books, books_sq, corpus, corpus_nsq,
+    queries, records, books, books_sq, corpus, corpus_nsq, corpus_scale,
     seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
     r, m, ksub, bits, beam_width, max_iters, metric, qb, ring_size,
     visited_pool, k, interpret,
@@ -758,6 +771,9 @@ def _pq_search_jit(
     cand = jnp.where(dup, n_sentinel, cand)
 
     rows = corpus[cand].astype(jnp.float32)                  # [B, C, D]
+    if corpus_scale is not None:
+        # int8 rescore: fold the per-row dequant scale into the gather
+        rows = rows * corpus_scale[cand][:, :, None]
     dots = jnp.einsum(
         "bcd,bd->bc", rows, queries,
         preferred_element_type=jnp.float32,
@@ -783,14 +799,14 @@ def _pq_search_jit(
                      "interpret"),
 )
 def _pq_search_many_jit(
-    qs, records, books, books_sq, corpus, corpus_nsq,
+    qs, records, books, books_sq, corpus, corpus_nsq, corpus_scale,
     seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
     r, m, ksub, bits, beam_width, max_iters, metric, qb, ring_size,
     visited_pool, k, interpret,
 ):
     def body(_, q):
         ids, scores = _pq_search_jit(
-            q, records, books, books_sq, corpus, corpus_nsq,
+            q, records, books, books_sq, corpus, corpus_nsq, corpus_scale,
             seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
             r, m, ksub, bits, beam_width, max_iters, metric, qb,
             ring_size, visited_pool, k, interpret,

@@ -234,3 +234,35 @@ def test_pq_search_many_device_matches_single_interpret():
         np.testing.assert_allclose(
             np.asarray(sc_m[mm]), np.asarray(sc_1), rtol=1e-5, atol=1e-5
         )
+
+
+def test_int8_rescore_mode_matches_f32():
+    """The int8 rescore fallback (OOM insurance at 10M) must rank nearly
+    identically to f32 rescore: navigation is ADC either way, and the
+    row-quantized dequant only perturbs the final ordering slightly."""
+    import numpy as np
+    from leann_tpu.ops.pq_beam import PqBeamEngine
+    from leann_tpu.ops.vamana import build_vamana
+
+    rng = np.random.default_rng(11)
+    n, d = 3000, 32
+    centers = rng.standard_normal((30, d)).astype(np.float32) * 3
+    x = (centers[rng.integers(0, 30, n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+    adj, med = build_vamana(x, graph_degree=16, complexity=24,
+                            metric="l2", wave_size=512)
+    q = x[:32] + 0.1 * rng.standard_normal((32, d)).astype(np.float32)
+
+    kw = dict(metric="l2", m=8, ksub=32, qb=16, visited_pool=128,
+              interpret=True)
+    e32 = PqBeamEngine(x, adj, med, rescore="f32", **kw)
+    e8 = PqBeamEngine(x, adj, med, rescore="int8",
+                      codebooks=e32.codebooks, codes=np.asarray(e32.codes),
+                      **kw)
+    i32, _ = e32.search(q, k=10, beam_width=32)
+    i8, _ = e8.search(q, k=10, beam_width=32)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(i32, i8)
+    ])
+    assert overlap >= 0.9
