@@ -16,7 +16,7 @@ the reference's one-query-at-a-time `BackendSearcher::search`
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -179,10 +179,16 @@ class IvfSearcher:
     """Partitioned matmul search — the TPU-throughput backend (no
     reference counterpart; see ops/ivf.py)."""
 
-    def __init__(self, vectors: np.ndarray, ivf, metric: str = "ip"):
+    def __init__(self, vectors: np.ndarray, ivf, metric: str = "ip",
+                 default_nprobe: Optional[int] = None):
         from leann_tpu.ops.ivf import IvfEngine
 
         self.metric = metric
+        # build-time calibrated floor (meta.backend_kwargs["nprobe"]):
+        # fixed nprobe is distribution-dependent (hardness sweep), so a
+        # calibrated corpus keeps its measured >= 0.95 operating point
+        # even when callers pass the default complexity
+        self.default_nprobe = default_nprobe
         self.engine = IvfEngine(
             vectors, metric=metric,
             centers=ivf.centers, assign=ivf.assign,
@@ -195,7 +201,8 @@ class IvfSearcher:
         self, queries: np.ndarray, k: int, complexity: int = 64
     ) -> Tuple[np.ndarray, np.ndarray]:
         """complexity maps to nprobe (clusters probed per query)."""
-        return self.engine.search(queries, k=k, nprobe=max(complexity // 2, 8))
+        nprobe = max(complexity // 2, self.default_nprobe or 8)
+        return self.engine.search(queries, k=k, nprobe=nprobe)
 
 
 class ShardedSearcher:
@@ -304,7 +311,9 @@ def _load_local_searcher(base: str, meta):
         return FlatSearcher(np.asarray(vectors), metric=metric)
     if backend == "ivf":
         ivf = IvfFile.load(ivf_path(base))
-        return IvfSearcher(np.asarray(vectors), ivf, metric=metric)
+        kw = getattr(meta, "backend_kwargs", None) or {}
+        return IvfSearcher(np.asarray(vectors), ivf, metric=metric,
+                           default_nprobe=kw.get("nprobe"))
     if not GraphFile.exists(base):
         # a hnsw/diskann meta with no native graph file: probably an index
         # built by Python LEANN or leann-rs (reference compat.rs behavior)

@@ -138,6 +138,18 @@ def run(args) -> int:
         centers, assign = kmeans(v, n_clusters, metric=m)
         IvfFile(centers, assign, metric).save(ivf_path(base))
         backend_kwargs = {"n_clusters": n_clusters}
+        if os.environ.get("LEANN_IVF_CALIBRATE", "1") != "0" \
+                and len(v) >= 1000:
+            from leann_tpu.ops.ivf import IvfEngine
+
+            eng = IvfEngine(vectors, metric=metric,
+                            centers=centers, assign=assign)
+            nprobe, rec = eng.calibrate_nprobe()
+            backend_kwargs["nprobe"] = int(nprobe)
+            backend_kwargs["calibrated_recall10"] = round(rec, 4)
+            print(f"calibrated nprobe={nprobe} (recall@10 {rec:.3f} on "
+                  "self-queries)")
+            del eng
 
     if args.rebuild_bm25:
         store = PassageStore(base)

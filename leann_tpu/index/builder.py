@@ -167,6 +167,20 @@ class StreamingIndexBuilder:
                 centers, assign = kmeans(vectors, n_clusters, metric=metric)
             IvfFile(centers, assign, self.metric).save(ivf_path(self.base))
             backend_kwargs = {"n_clusters": n_clusters}
+            # calibrate the nprobe operating point on THIS corpus (fixed
+            # nprobe recall is distribution-dependent — hardness sweep);
+            # stored in backend_kwargs, honored by IvfSearcher as a floor
+            if os.environ.get("LEANN_IVF_CALIBRATE", "1") != "0" \
+                    and len(vectors) >= 1000:
+                from leann_tpu.ops.ivf import IvfEngine
+
+                eng = IvfEngine(vectors, metric=self.metric,
+                                centers=centers, assign=assign)
+                with span("build.ivf.calibrate"):
+                    nprobe, rec = eng.calibrate_nprobe()
+                backend_kwargs["nprobe"] = int(nprobe)
+                backend_kwargs["calibrated_recall10"] = round(rec, 4)
+                del eng
         if self.backend == "vamana":
             from leann_tpu.ops.vamana import build_vamana
             from leann_tpu.store.embeddings import EmbeddingsStore

@@ -315,6 +315,52 @@ class IvfEngine:
     def _corpus(self) -> jnp.ndarray:
         return self._corpus_dev
 
+    def calibrate_nprobe(
+        self,
+        target_recall: float = 0.95,
+        k: int = 10,
+        sample: int = 256,
+        ladder: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+        seed: int = 1,
+    ) -> Tuple[int, float]:
+        """Smallest nprobe meeting `target_recall` on this corpus.
+
+        Fixed-nprobe recall is distribution-dependent: the hardness
+        sweep (evals/hardness_sweep.py) measured nprobe=16 at 1.0 recall
+        on a 1024-cluster mixture but 0.48 on a 16384-cluster one and
+        0.62 under zipf cluster sizes — k-means cells stop matching true
+        neighborhoods and a fixed probe count misses them. Calibration
+        probes a ladder of nprobe values on `sample` self-queries
+        (corpus rows + cluster-residual-scaled noise, so queries sit at
+        realistic within-cluster distances) against the engine's own
+        exhaustive-probe oracle, and returns the first rung meeting the
+        target plus its measured recall. Cost: ladder+1 searches of
+        `sample` queries — seconds, at build time.
+        """
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, self.n, sample)
+        base = np.asarray(self._corpus_dev[jnp.asarray(idx)])
+        resid = base - self.centers[self.assign[idx]]
+        rstd = float(resid.std()) or 1e-3
+        q = base + rstd * rng.standard_normal(base.shape).astype(np.float32)
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+
+        oracle, _ = self.search(q, k=k, nprobe=self.n_clusters)
+        osets = [set(row.tolist()) for row in oracle]
+        best = (self.n_clusters, 1.0)
+        for nprobe in ladder:
+            if nprobe >= self.n_clusters:
+                break
+            ids, _ = self.search(q, k=k, nprobe=nprobe)
+            rec = float(np.mean([
+                len(set(row.tolist()) & osets[i]) / k
+                for i, row in enumerate(ids)
+            ]))
+            if rec >= target_recall:
+                return nprobe, rec
+        return best
+
 
 @functools.partial(
     jax.jit, static_argnames=("k", "c", "nprobe", "metric", "sentinel")

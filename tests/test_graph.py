@@ -290,3 +290,45 @@ def test_ivf_search_many_device_matches_single():
         np.testing.assert_allclose(
             np.asarray(sc_m[m]), np.asarray(sc_1), rtol=1e-5, atol=1e-5
         )
+
+
+def test_ivf_nprobe_calibration():
+    """Fixed nprobe is distribution-dependent (hardness sweep): on a
+    many-cluster corpus the calibrated operating point must meet its
+    target where small fixed nprobe does not, and IvfSearcher must
+    honor the stored floor."""
+    from leann_tpu.backend import IvfSearcher
+    from leann_tpu.ops.distance import exact_topk
+    from leann_tpu.ops.ivf import IvfEngine
+    from leann_tpu.store.ivffile import IvfFile
+
+    rng = np.random.default_rng(3)
+    n, d, n_true = 8000, 32, 2000   # many tiny true clusters
+    centers = rng.standard_normal((n_true, d)).astype(np.float32) * 4
+    x = (centers[rng.integers(0, n_true, n)]
+         + rng.standard_normal((n, d)).astype(np.float32))
+    eng = IvfEngine(x, metric="l2")
+    nprobe, cal_rec = eng.calibrate_nprobe(target_recall=0.95, sample=128)
+    assert cal_rec >= 0.95 or nprobe == eng.n_clusters
+
+    q = x[rng.integers(0, n, 64)] + rng.standard_normal((64, d)).astype(
+        np.float32)
+    _, oracle = exact_topk(q, x, 10, metric="l2")
+    oracle = np.asarray(oracle)
+
+    def rec(ids):
+        return np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / 10
+            for a, b in zip(np.asarray(ids), oracle)
+        ])
+
+    ids_cal, _ = eng.search(q, k=10, nprobe=nprobe)
+    ids_8, _ = eng.search(q, k=10, nprobe=8)
+    assert rec(ids_cal) >= rec(ids_8)
+    assert rec(ids_cal) >= 0.9
+
+    # searcher honors the calibrated floor even at default complexity
+    s = IvfSearcher(x, IvfFile(eng.centers, eng.assign, "l2"),
+                    metric="l2", default_nprobe=int(nprobe))
+    ids_s, _ = s.search(q, k=10, complexity=16)   # 16//2=8 < floor
+    assert rec(ids_s) >= rec(ids_8)
