@@ -174,6 +174,18 @@ def run(args) -> int:
             )
             IvfFile(centers, assign, ivf.metric,
                     trained_n=n_total_ivf).save(ivf_path(base))
+            # new centroids invalidate the old nprobe operating point
+            if os.environ.get("LEANN_IVF_CALIBRATE", "1") != "0" \
+                    and len(av) >= 1000:
+                from leann_tpu.ops.ivf import IvfEngine
+
+                eng = IvfEngine(av, metric=meta.metric,
+                                centers=centers, assign=assign)
+                nprobe, rec = eng.calibrate_nprobe()
+                meta.backend_kwargs = dict(meta.backend_kwargs or {})
+                meta.backend_kwargs["nprobe"] = int(nprobe)
+                meta.backend_kwargs["calibrated_recall10"] = round(rec, 4)
+                del eng
         else:
             nv = new_vecs
             if meta.metric == "cosine":
