@@ -222,8 +222,12 @@ class ShardedSearcher:
         from leann_tpu.parallel import (
             ShardedFlatIndex, ShardedGraphIndex, ShardedIvfIndex, make_mesh,
         )
+        from leann_tpu.parallel.mesh import init_distributed
         from leann_tpu.store import shardfile
 
+        # multi-host env contract (no-op single host): must run before
+        # jax.devices() is consulted by make_mesh
+        init_distributed()
         mesh = make_mesh()
         self.n_shards = mesh.shape["shard"]
         self.backend = resolve_backend(backend)

@@ -15,12 +15,12 @@ Collectives come from XLA via shard_map; there is no hand-written
 communication backend to maintain.
 """
 
-from leann_tpu.parallel.mesh import make_mesh
+from leann_tpu.parallel.mesh import init_distributed, make_mesh
 from leann_tpu.parallel.sharded import (
     ShardedFlatIndex,
     ShardedGraphIndex,
     ShardedIvfIndex,
 )
 
-__all__ = ["make_mesh", "ShardedFlatIndex", "ShardedGraphIndex",
+__all__ = ["init_distributed", "make_mesh", "ShardedFlatIndex", "ShardedGraphIndex",
            "ShardedIvfIndex"]

@@ -24,3 +24,34 @@ def make_mesh(
         raise ValueError(f"axis sizes {axis_sizes} != device count {n}")
     arr = np.asarray(devices).reshape(axis_sizes)
     return Mesh(arr, tuple(axis_names)[: arr.ndim])
+
+
+def init_distributed() -> bool:
+    """Multi-host bring-up (SURVEY §2.4): call once per process before
+    building a mesh that spans hosts. Initializes the JAX distributed
+    runtime from the standard env contract
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or a
+    managed-cluster environment jax can auto-detect). No-op on a single
+    host — single-process meshes need no coordinator, and calling
+    jax.distributed.initialize there would hang waiting for peers.
+
+    Returns True when a multi-process runtime was (or already is)
+    initialized. Corpus shards then ride local ICI inside each host's
+    mesh slice; only the final [B, k] merge crosses DCN.
+    """
+    import os
+
+    already = getattr(jax.distributed, "global_state", None)
+    if already is not None and getattr(already, "client", None) is not None:
+        return True
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    if not coord and not nproc:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coord,
+        num_processes=int(nproc) if nproc else None,
+        process_id=(int(os.environ["JAX_PROCESS_ID"])
+                    if os.environ.get("JAX_PROCESS_ID") else None),
+    )
+    return True

@@ -249,3 +249,14 @@ def test_shardfile_rejects_wrong_shard_count(tmp_path):
     shardfile.save_graph_shards(base, adj, med, n=40, metric="ip")
     assert shardfile.load_shards(base, 4) is not None
     assert shardfile.load_shards(base, 8) is None
+
+
+def test_init_distributed_noop_single_host(monkeypatch):
+    """Without the multi-host env contract, init_distributed must be a
+    no-op returning False (calling jax.distributed.initialize on a
+    single host would hang waiting for peers)."""
+    from leann_tpu.parallel import init_distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert init_distributed() is False
