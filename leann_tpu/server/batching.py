@@ -67,6 +67,7 @@ class MicroBatcher:
         query_template: Optional[str],
         max_batch: int = 64,
         window_ms: float = 2.0,
+        pipeline_depth: int = 2,
     ):
         self.searcher = searcher
         self.provider = provider
@@ -76,6 +77,18 @@ class MicroBatcher:
         self._queue: List[_Pending] = []
         self._cv = threading.Condition()
         self._closed = False
+        # depth-2 flush pipeline: while flush N blocks on its device
+        # results + host postprocessing (passage fetch, hybrid merge),
+        # flush N+1 embeds and dispatches — JAX dispatch is thread-safe
+        # and async, so consecutive device batches overlap the host work
+        # instead of serializing behind it (same trick the bench's
+        # pipelined path uses, applied at the serving boundary)
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(
+            max_workers=max(1, int(pipeline_depth)),
+            thread_name_prefix="leann-flush",
+        )
         self._worker = threading.Thread(
             target=self._run, name="leann-microbatch", daemon=True
         )
@@ -113,6 +126,7 @@ class MicroBatcher:
             self._closed = True
             self._cv.notify_all()
         self._worker.join(timeout=5)
+        self._pool.shutdown(wait=True)
 
     # ---------------------------------------------------------- worker
 
@@ -122,7 +136,7 @@ class MicroBatcher:
             if batch is None:
                 return
             if batch:
-                self._flush(batch)
+                self._pool.submit(self._flush, batch)
 
     def _collect(self) -> Optional[List[_Pending]]:
         with self._cv:

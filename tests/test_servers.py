@@ -349,3 +349,61 @@ def test_search_batch_endpoint_rejects_bad_list(http_server):
         http_server + "/search", {"queries": ["ok", 42], "top_k": 1}
     )
     assert status == 400
+
+
+def test_microbatch_flush_pipeline_overlaps(tmp_index_base):
+    """Consecutive flushes must be able to run concurrently (depth-2
+    pipeline): with a slow searcher, two batches submitted a window
+    apart should overlap rather than serialize."""
+    import time as _time
+
+    from leann_tpu.index.searcher import SearchOptions
+    from leann_tpu.server.batching import MicroBatcher
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = [f"doc {i}" for i in range(8)]
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        builder.add(f"t{i}", t, v)
+    builder.build()
+
+    inner = IndexSearcher.load(tmp_index_base)
+    in_flight = []
+    lock = threading.Lock()
+
+    class Slow:
+        meta = inner.meta
+
+        def search(self, qvecs, options):
+            with lock:
+                in_flight.append(1)
+                peak = sum(in_flight)
+            _time.sleep(0.25)
+            out = inner.search(qvecs, options)
+            with lock:
+                in_flight.pop()
+            self.peak = max(getattr(self, "peak", 0), peak)
+            return out
+
+    slow = Slow()
+    batcher = MicroBatcher(slow, provider, None, max_batch=1,
+                           window_ms=0.0, pipeline_depth=2)
+    try:
+        results = [None] * 4
+        def worker(i):
+            results[i] = batcher.submit(texts[i], SearchOptions(top_k=2),
+                                        timeout=30)
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(4)]
+        t0 = _time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        elapsed = _time.time() - t0
+        assert all(r is not None and len(r) == 2 for r in results)
+        # 4 x 0.25s flushes serialized = 1.0s; depth-2 pipeline ~0.5s
+        assert elapsed < 0.9, f"flushes serialized ({elapsed:.2f}s)"
+        assert getattr(slow, "peak", 1) >= 2
+    finally:
+        batcher.close()
