@@ -23,9 +23,15 @@ Measured (v5e, 1M x 128, nprobe=8, batch 2048): 6.4k QPS at recall
 0.9998 — correct but ~3x slower than the XLA gather+einsum path (19.3k):
 manual per-program DMAs don't pipeline across grid steps the way XLA's
 fused gather does, and the (B/8 x P) grid pays per-program overhead.
-The XLA path remains the default engine; this kernel is kept as the
-explicit-DMA reference implementation for future double-buffered
-iterations.
+
+DECIDED (round 3): the XLA path is the permanent IVF engine; this
+kernel stays as the tested explicit-DMA reference only. Rationale: the
+bucket scan is a dense regular gather+contraction — exactly the shape
+XLA already pipelines optimally — so a hand kernel can only win by
+out-scheduling the compiler on its best case, and the measured 3x says
+it doesn't. Pallas effort goes where XLA structurally cannot follow:
+data-dependent traversal with state in VMEM (ops/fused_beam.py, 5-6x
+the XLA hop loop; ops/pq_beam.py for the DEEP-10M layout).
 """
 
 from __future__ import annotations
