@@ -109,9 +109,6 @@ def main() -> None:
         search = lambda q, k: engine.search(q, k=k, nprobe=NPROBE)  # noqa: E731
         knobs = f"clusters={N_CLUSTERS}, nprobe={NPROBE}"
     else:
-        from leann_tpu.ops.fused_beam import FusedBeamEngine
-        from leann_tpu.ops.vamana import build_vamana
-
         art_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "evals", "artifacts",
@@ -122,17 +119,43 @@ def main() -> None:
             art = np.load(art_path)
             adjacency, medoid = art["adjacency"], int(art["medoid"])
         else:
+            from leann_tpu.ops.vamana import build_vamana
+
             adjacency, medoid = build_vamana(
                 corpus, graph_degree=GRAPH_DEGREE,
                 complexity=BUILD_COMPLEXITY,
                 alpha=1.2, metric="l2", wave_size=8192,
             )
-        engine = FusedBeamEngine(
-            corpus, adjacency, medoid, metric="l2",
-            expansions=int(os.environ.get("BENCH_E", 2)),
-        )
-        search = lambda q, k: engine.search(q, k=k, beam_width=SEARCH_BEAM)  # noqa: E731
-        knobs = f"R={GRAPH_DEGREE}, beam={SEARCH_BEAM}, fused-kernel"
+        if BACKEND == "pq":
+            # the DEEP-10M-scale layout: 128-bit ADC codes navigate,
+            # exact rescore of beam + visited (ops/pq_beam.py)
+            from leann_tpu.ops.pq_beam import PqBeamEngine
+
+            m = next((mm for mm in (16, 12, 8) if D % mm == 0), 8)
+            pq_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "evals", "artifacts", f"pq_n{N}_d{D}_m{m}_k256.npz")
+            books = codes = None
+            if os.path.exists(pq_path):
+                z = np.load(pq_path)
+                books, codes = z["books"], z["codes"]
+                log(f"pq cache {pq_path}")
+            engine = PqBeamEngine(
+                corpus, adjacency, medoid, metric="l2", m=m, ksub=256,
+                rescore=os.environ.get("LEANN_PQ_RESCORE", "bf16"),
+                codebooks=books, codes=codes,
+            )
+            search = lambda q, k: engine.search(q, k=k, beam_width=SEARCH_BEAM)  # noqa: E731
+            knobs = f"R={GRAPH_DEGREE}, beam={SEARCH_BEAM}, pq-m{m}-kernel"
+        else:
+            from leann_tpu.ops.fused_beam import FusedBeamEngine
+
+            engine = FusedBeamEngine(
+                corpus, adjacency, medoid, metric="l2",
+                expansions=int(os.environ.get("BENCH_E", 2)),
+            )
+            search = lambda q, k: engine.search(q, k=k, beam_width=SEARCH_BEAM)  # noqa: E731
+            knobs = f"R={GRAPH_DEGREE}, beam={SEARCH_BEAM}, fused-kernel"
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
 
@@ -162,6 +185,7 @@ def main() -> None:
         "flat": {},
         "ivf": {"nprobe": NPROBE},
         "vamana": {"beam_width": SEARCH_BEAM},
+        "pq": {"beam_width": SEARCH_BEAM},
     }[BACKEND]
 
     def call(qs):
