@@ -43,6 +43,10 @@ def add_parser(sub):
     p.add_argument("--alpha", type=float, default=1.2)
     p.add_argument("--rebuild-bm25", action="store_true",
                    help="Also rebuild the BM25 sidecar from passages")
+    p.add_argument("--keep-graph", action="store_true",
+                   help="When migrating a usearch .index: serve its "
+                        "level-0 HNSW adjacency directly as the TPU "
+                        "graph instead of rebuilding (instant migration)")
     p.set_defaults(func=run)
 
 
@@ -85,6 +89,33 @@ def _recover_from_usearch(base: str, meta: IndexMeta) -> bool:
     return True
 
 
+def _import_usearch_graph(base: str, n_ids: int):
+    """Parse the foreign usearch binary's level-0 HNSW adjacency into
+    the TPU graph format (key order, pad = n). Returns (adjacency,
+    medoid) or None. The level-0 layer of a usearch HNSW is a
+    navigable-small-world graph over every node — directly traversable
+    by the frontier-batched beam (upper layers only accelerate entry
+    selection, which the seed pool replaces)."""
+    from leann_tpu.backend.usearch_import import (
+        UsearchParseError, looks_like_usearch, parse_usearch_index,
+        to_key_order)
+
+    path = base + ".index"
+    if not os.path.exists(path) or not looks_like_usearch(path):
+        return None
+    try:
+        data = parse_usearch_index(path)
+        _, adjacency, medoid = to_key_order(data)
+    except UsearchParseError as e:
+        print(f"usearch graph import failed ({e})", file=sys.stderr)
+        return None
+    if adjacency.shape[0] != n_ids:
+        print(f"usearch graph has {adjacency.shape[0]} nodes but ids.txt "
+              f"has {n_ids}; not importing.", file=sys.stderr)
+        return None
+    return adjacency, int(medoid)
+
+
 def run(args) -> int:
     try:
         index_dir = find_index(args.index_name)
@@ -114,7 +145,21 @@ def run(args) -> int:
           f"-> backend={backend}, metric={metric}")
     t0 = time.time()
     backend_kwargs = None
-    if backend == "vamana":
+    if backend == "vamana" and getattr(args, "keep_graph", False):
+        imported = _import_usearch_graph(base, len(ids))
+        if imported is None:
+            print("--keep-graph: no parsable usearch .index found; "
+                  "rebuilding instead.", file=sys.stderr)
+        else:
+            adjacency, medoid = imported
+            GraphFile(adjacency, medoid, metric).save(graph_path(base))
+            backend_kwargs = {
+                "graph_degree": int(adjacency.shape[1]),
+                "imported": "usearch-l0",
+            }
+            print(f"kept usearch level-0 graph: degree "
+                  f"{adjacency.shape[1]}, entry {medoid} (no rebuild)")
+    if backend == "vamana" and backend_kwargs is None:
         from leann_tpu.ops.vamana import build_vamana
 
         adjacency, medoid = build_vamana(

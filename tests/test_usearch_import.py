@@ -228,3 +228,63 @@ def test_reindex_migrates_pruned_usearch_index(tmp_path):
     m2 = meta_mod.IndexMeta.load(base + ".meta.json")
     assert m2.backend_name == "vamana"
     assert not m2.is_pruned
+
+
+def test_reindex_keep_graph_serves_imported_adjacency(tmp_path):
+    """--keep-graph: the usearch level-0 adjacency serves directly (no
+    rebuild) and returns correct neighbors."""
+    import json
+
+    from leann_tpu.cli.main import main as cli_main
+    from leann_tpu.ops.distance import exact_topk
+    from leann_tpu.store import meta as meta_mod
+    from leann_tpu.store.graphfile import GraphFile, graph_path
+
+    rng = np.random.default_rng(5)
+    n, d = 200, 16
+    centers = rng.standard_normal((10, d)).astype(np.float32) * 3
+    vectors = (centers[rng.integers(0, 10, n)]
+               + 0.3 * rng.standard_normal((n, d)).astype(np.float32))
+    vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+
+    # level-0 = exact 8-NN graph (a usearch HNSW base layer is an NSW
+    # over all nodes; kNN is the densest such stand-in)
+    import jax
+    _, nn = exact_topk(vectors, vectors, 9, metric="ip")
+    nn = np.asarray(nn)
+    graphs = [[[j for j in nn[i].tolist() if j != i][:8]]
+              for i in range(n)]
+
+    idx_dir = tmp_path / "indexes" / "kg"
+    idx_dir.mkdir(parents=True)
+    base = str(idx_dir / "documents.leann")
+    with open(base + ".passages.jsonl", "w") as f:
+        for i in range(n):
+            f.write(json.dumps({"id": str(i), "text": f"p{i}",
+                                "metadata": {}}) + "\n")
+    with open(base + ".ids.txt", "w") as f:
+        f.write("".join(f"{i}\n" for i in range(n)))
+    meta_mod.IndexMeta(
+        backend_name="hnsw", embedding_model="t", embedding_mode="fake",
+        dimensions=d, metric="ip", is_pruned=True, passage_count=n,
+    ).save(base + ".meta.json")
+    write_usearch(base + ".index", vectors, graphs,
+                  connectivity=8, connectivity_base=8, entry_slot=0)
+
+    rc = cli_main(["reindex", str(idx_dir), "--backend-name", "vamana",
+                   "--keep-graph", "--metric", "ip"])
+    assert rc == 0
+    g = GraphFile.load(graph_path(base))
+    assert g.degree == 8 and g.n == n
+    m2 = meta_mod.IndexMeta.load(base + ".meta.json")
+    assert m2.backend_kwargs.get("imported") == "usearch-l0"
+
+    # imported graph must actually navigate
+    from leann_tpu.ops.beam import BeamSearchEngine
+    eng = BeamSearchEngine(vectors, g.adjacency, g.medoid, metric="ip")
+    q = vectors[:16]
+    idx, _ = eng.search(q, k=5, beam_width=32)
+    _, oracle = exact_topk(q, vectors, 5, metric="ip")
+    rec = np.mean([len(set(a.tolist()) & set(b.tolist())) / 5
+                   for a, b in zip(idx, np.asarray(oracle))])
+    assert rec >= 0.9
