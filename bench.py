@@ -62,7 +62,30 @@ def main() -> None:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
     )
+    # The axon plugin handshakes the TPU pool at `import jax` time and
+    # can hang indefinitely when the relay tunnel is down (observed:
+    # multi-hour outages). Fail fast with an honest JSON line instead of
+    # a silent stall so the driver records WHY there is no number.
+    import signal
+
+    def _tpu_timeout(signum, frame):
+        print(json.dumps({
+            "metric": "error: TPU unavailable (axon handshake timed out "
+                      "after 600s; relay tunnel down)",
+            "value": 0.0,
+            "unit": "qps",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(2)
+
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _tpu_timeout)
+        signal.alarm(600)
     import jax
+
+    jax.devices()  # force the backend handshake under the alarm
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
 
     try:
         jax.config.update(
