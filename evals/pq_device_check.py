@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--recall-q", type=int, default=1024)
     ap.add_argument("--rescore", default="f32")
     ap.add_argument("--artifact", default=None)
+    ap.add_argument("--interpret", action="store_true",
+                    help="force Pallas interpret mode (auto on CPU)")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -89,11 +91,15 @@ def main():
         books, codes = z["books"], z["codes"]
         log(f"pq cache {pc}")
 
+    interpret = args.interpret or jax.default_backend() == "cpu"
+    if interpret:
+        log("interpret mode (CPU backend): correctness smoke only, "
+            "timings are not device numbers")
     t0 = time.time()
     eng = PqBeamEngine(
         corpus, adjacency, medoid, metric="l2", m=args.m, ksub=args.ksub,
         qb=args.qb, visited_pool=args.visited, rescore=args.rescore,
-        codebooks=books, codes=codes,
+        codebooks=books, codes=codes, interpret=interpret,
     )
     if books is None:
         np.savez_compressed(

@@ -37,6 +37,8 @@ def main():
     ap.add_argument("--beam", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--recall-q", type=int, default=1024)
+    ap.add_argument("--interpret", action="store_true",
+                    help="force Pallas interpret mode (auto on CPU)")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -79,10 +81,15 @@ def main():
     if n_shards == 1:
         # reuse the committed whole-corpus artifact as the single shard
         adj_shards, meds = adjacency[None], np.asarray([medoid])
+    interpret = args.interpret or jax.default_backend() == "cpu"
+    if interpret:
+        log("interpret mode (CPU backend): correctness smoke only, "
+            "timings are not device numbers")
     t0 = time.time()
     idx = ShardedGraphIndex(
         corpus, mesh, metric="l2", graph_degree=args.r,
-        adjacency_shards=adj_shards, medoids=meds, engine="fused")
+        adjacency_shards=adj_shards, medoids=meds, engine="fused",
+        interpret=interpret)
     log(f"sharded index up in {time.time()-t0:.0f}s "
         f"(shards={n_shards}, engine={idx.engine})")
 
