@@ -33,13 +33,6 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def make_corpus(rng, n, d, clusters=1024):
-    centers = rng.standard_normal((clusters, d)).astype(np.float32) * 4.0
-    assign = rng.integers(0, clusters, n)
-    return (centers[assign]
-            + rng.standard_normal((n, d)).astype(np.float32)).astype(np.float32)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1_000_000)
@@ -75,8 +68,10 @@ def main():
         f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
     log(f"devices: {jax.devices()}")
     t0 = time.time()
-    rng = np.random.default_rng(0)
-    pool = make_corpus(rng, n + 1024 + 2048, d)
+    rng = np.random.default_rng(0)  # only PQ-train sampling below
+    from corpus_cache import get_pool
+
+    pool = get_pool(n, d)
     corpus, queries = pool[:n], pool[n : n + args.queries]
     log(f"corpus in {time.time()-t0:.0f}s")
     t0 = time.time()

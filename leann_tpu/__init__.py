@@ -33,4 +33,18 @@ Package layout:
 
 from leann_tpu.version import __version__
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "Index", "open_index", "SearchResult"]
+
+
+def __getattr__(name):
+    # Lazy: `import leann_tpu` stays free of jax/engine imports until an
+    # API symbol is touched (the CLI parses --help without a TPU).
+    if name in ("Index", "open_index"):
+        from leann_tpu import api
+
+        return getattr(api, name)
+    if name == "SearchResult":
+        from leann_tpu.index.searcher import SearchResult
+
+        return SearchResult
+    raise AttributeError(f"module 'leann_tpu' has no attribute {name!r}")

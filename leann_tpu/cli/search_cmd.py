@@ -8,12 +8,7 @@ import json
 import os
 import sys
 
-from leann_tpu.cli.common import provider_from_meta, resolve_query_template
-from leann_tpu.index.filter import MetadataFilter
-from leann_tpu.index import query as queryexp
-from leann_tpu.index.searcher import IndexSearcher, SearchOptions
 from leann_tpu.store.locate import find_index, index_base
-from leann_tpu.store.meta import IndexMeta, meta_path
 
 
 def add_parser(sub):
@@ -45,71 +40,33 @@ def add_parser(sub):
 
 
 def run(args) -> int:
+    from leann_tpu.api import Index
+
     index_name = args.index or os.path.basename(os.getcwd())
     try:
         index_dir = find_index(index_name)
     except FileNotFoundError as e:
         print(str(e), file=sys.stderr)
         return 1
-    base = index_base(index_dir)
-    meta = IndexMeta.load(meta_path(base))
-    provider = provider_from_meta(
-        meta, api_key=args.embedding_api_key,
-        host=args.embedding_host, base_url=args.embedding_api_base,
+    idx = Index(
+        index_base(index_dir),
+        sharded=args.sharded,
+        api_key=args.embedding_api_key,
+        host=args.embedding_host,
+        base_url=args.embedding_api_base,
+        query_template=args.query_prompt_template,
     )
-    template = resolve_query_template(args.query_prompt_template, meta)
-    filt = MetadataFilter.parse(args.filter) if args.filter else None
-
-    query = args.query
-    hybrid = args.hybrid or (
-        not args.no_auto_hybrid and queryexp.should_expand(query)
+    hybrid = True if args.hybrid else (None if not args.no_auto_hybrid else False)
+    results = idx.search(
+        args.query,
+        top_k=args.top_k,
+        complexity=args.complexity,
+        filter=args.filter,
+        hybrid=hybrid,
+        hybrid_alpha=args.hybrid_alpha,
+        expand=not args.no_expand,
+        on_expand=lambda q: print(f"(expanded: {q})", file=sys.stderr),
     )
-
-    if meta.is_pruned:
-        from leann_tpu.store.graphfile import GraphFile
-        from leann_tpu.store.tokens import tokens_exist
-
-        qvec = provider.embed_with_template([query], template)[0]
-        if (
-            meta.embedding_mode == "local"
-            and GraphFile.exists(base)
-            and tokens_exist(base)
-        ):
-            # fused path: graph traversal + on-TPU re-embedding
-            from leann_tpu.index.recompute import GraphRecomputeSearcher
-
-            grs = GraphRecomputeSearcher(base, provider._impl.encoder)
-            results = grs.search(
-                qvec, top_k=args.top_k, complexity=args.complexity,
-                filter=filt,
-            )
-        else:
-            from leann_tpu.index.recompute import RecomputeSearcher
-
-            from leann_tpu.cli.common import resolve_build_template
-
-            doc_template = resolve_build_template(meta, provider)
-            rs = RecomputeSearcher(base, provider, document_template=doc_template)
-            results = rs.search(qvec, top_k=args.top_k, filter=filt)
-    else:
-        searcher = IndexSearcher.load(base, sharded=args.sharded)
-        if not args.no_expand and queryexp.should_expand(query):
-            expanded = searcher.expand_query(query)
-            if expanded != query:
-                print(f"(expanded: {expanded})", file=sys.stderr)
-                query = expanded
-        qvec = provider.embed_with_template([query], template)
-        results = searcher.search(
-            qvec,
-            SearchOptions(
-                top_k=args.top_k,
-                complexity=args.complexity,
-                filter=filt,
-                hybrid=hybrid,
-                hybrid_alpha=args.hybrid_alpha,
-                query_text=query,
-            ),
-        )[0]
 
     if args.format == "json":
         print(json.dumps(
