@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--beam", type=int, default=64)
     ap.add_argument("--nprobe", type=int, default=0)
     ap.add_argument("--recall-q", type=int, default=1024)
+    ap.add_argument("--artifact", default=None,
+                    help="graph .npz for vamana/xla-graph (default: the "
+                         "committed artifact for this n)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -151,7 +154,7 @@ def main():
         elif backend == "vamana":
             from leann_tpu.ops.fused_beam import FusedBeamEngine
 
-            art = os.path.join(
+            art = args.artifact or os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "artifacts",
                 f"vamana_n{n}_r48_l80.npz")
             if not os.path.exists(art):
@@ -174,7 +177,7 @@ def main():
             # odd-dim config where inline layouts exceed HBM
             from leann_tpu.ops.beam import BeamSearchEngine
 
-            art = os.path.join(
+            art = args.artifact or os.path.join(
                 os.path.dirname(os.path.abspath(__file__)), "artifacts",
                 f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
             if not os.path.exists(art):
@@ -191,7 +194,8 @@ def main():
             flops_per_batch = 0.0
             bytes_per_batch = 0.0
             knobs = (f"R={a['adjacency'].shape[1]}, beam={args.beam}, "
-                     f"xla-row-gather, visited={eng.visited_pool}")
+                     f"xla-row-gather, visited={eng.visited_pool}, "
+                     f"graph={os.path.basename(art)}")
             t0 = time.time()
             rec_ids, _ = eng.search(rq, k=args.k, beam_width=args.beam)
             log(f"recall batch (incl compile) {time.time()-t0:.0f}s")

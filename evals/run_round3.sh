@@ -41,16 +41,13 @@ run config0 3600 python evals/run_eval.py --configs 0 --scale 1.0
 run sharded_fused 3600 \
   python evals/sharded_device_check.py --n 1000000 --d 128
 
-# 2a. PQ fused engine at 1M x 128 (same artifact as the fused row)
+# 2a. PQ fused engine at 1M x 128 (first-hardware shakeout of the PQ
+# kernel; recall at 1M measured by sim first — see RESULTS_r3 2.)
 run pq_1m 3600 \
   python evals/pq_device_check.py --n 1000000 --d 128 --m 16 --ksub 256
 
-# 2b. PQ fused engine at DEEP-10M shape (the round-3 flagship row)
-run pq_10m 7200 \
-  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
-    --rescore bf16
-
-# 2c. XLA row-gather at 10M (the round-2 serving path, for contrast)
+# 2b. XLA row-gather at 10M single-pass graph (the round-2 serving
+# path; the refined-graph row below is the flagship)
 run xla_10m 7200 \
   python evals/device_time.py --backend xla-graph --n 10000000 --d 96
 
@@ -65,15 +62,21 @@ run build_1m 5400 \
 # 5. pruned-recompute sweep (beam x visited) at 100k
 run recompute_100k 5400 python evals/recompute_scale.py
 
-# 2d. second Vamana pass over the 10M artifact (recall 0.902 -> target
-# >= 0.95), then re-measure the PQ engine on the refined graph.
-# LONG (~2-3h device time).
+# 2c. second Vamana pass over the 10M artifact (recall 0.902 -> target
+# >= 0.95), then the DEEP-10M flagship row: XLA graph engine on the
+# refined graph. LONG (~2-3h device time).
 run refine_10m 14400 \
   python evals/refine_artifact.py --n 10000000 --d 96 --l 64
-run pq_10m_p2 7200 \
-  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
-    --rescore bf16 \
+run xla_10m_p2 7200 \
+  python evals/device_time.py --backend xla-graph --n 10000000 --d 96 \
     --artifact evals/artifacts/vamana_n10000000_r48_l64p2.npz
+
+# 2d. PQ fused engine at DEEP-10M shape: records the honest negative
+# (CPU sim predicts recall collapse ~0.07-0.25 — RESULTS_r3 2.); cheap
+# because the PQ codes and oracle are cached. Runs LAST of the 10M rows.
+run pq_10m 5400 \
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
+    --rescore bf16
 
 # 8. hardness sweep at 200k (all 9 configs, ivf + graph)
 run hardness 10800 python evals/hardness_sweep.py --n 200000 --d 128
