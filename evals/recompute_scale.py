@@ -31,7 +31,13 @@ os.environ.setdefault(
 
 N = int(os.environ.get("RS_N", 100_000))
 T = int(os.environ.get("RS_T", 48))
-NQ = 256
+NQ = int(os.environ.get("RS_NQ", 256))
+# Encoder-size overrides for CPU insurance runs (recall in the
+# encoder's OWN embedding space is the measured quantity; a smaller
+# random encoder preserves the corpus cluster geometry while making
+# the sweep CPU-feasible). Defaults = bert-base = the on-chip battery.
+LAYERS = int(os.environ.get("RS_LAYERS", 12))
+HIDDEN = int(os.environ.get("RS_HIDDEN", 768))
 # beam x visited-pool sweep: the visited log's scores are already exact
 # (computed at expansion time), so merging a bigger pool into the
 # final top-k raises recall at ZERO extra encoder forwards; wider beams
@@ -52,7 +58,13 @@ def main():
     from leann_tpu.ops.distance import exact_topk
     from leann_tpu.ops.vamana import build_vamana
 
-    enc = BertEncoder(config=BertConfig())  # bert-base geometry
+    cfg = BertConfig()  # bert-base geometry (battery default)
+    if LAYERS != cfg.num_layers or HIDDEN != cfg.hidden_size:
+        heads = max(2, HIDDEN // 64)
+        cfg = BertConfig(hidden_size=HIDDEN, num_layers=LAYERS,
+                         num_heads=heads, intermediate_size=4 * HIDDEN)
+        log(f"encoder override: {LAYERS}L x {HIDDEN}d (CPU insurance)")
+    enc = BertEncoder(config=cfg)
     texts = [
         f"passage {i} about subject {i % 911} topic {i % 101} "
         f"facet {i % 37} keyword{i % 7} detail {i}"
@@ -62,8 +74,8 @@ def main():
     t0 = time.time()
     vectors = enc.embed(texts, batch_size=512)
     embed_s = time.time() - t0
-    log(f"embed {N} docs (768d, 12L, T={T}): {embed_s:.1f}s "
-        f"({N / embed_s:.0f} docs/s)")
+    log(f"embed {N} docs ({cfg.hidden_size}d, {cfg.num_layers}L, "
+        f"T={T}): {embed_s:.1f}s ({N / embed_s:.0f} docs/s)")
 
     tok, mask = enc.tokenize_corpus(texts, max_length=T)
 
@@ -98,7 +110,9 @@ def main():
             )
             rec = hits / (NQ * 10)
             print(json.dumps({
-                "config": 3, "n": N, "t": T, "beam": beam,
+                "config": 3, "n": N, "t": T,
+                "enc": f"{cfg.num_layers}L{cfg.hidden_size}",
+                "beam": beam,
                 "visited": visited,
                 "recall_at_10": round(rec, 4),
                 "qps": round(NQ / lat, 2),
