@@ -6,6 +6,9 @@ show up on the chip). Runs against a prebuilt Vamana artifact:
 
   python evals/pq_device_check.py --n 1000000 --d 128 --m 16
   python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --rescore bf16
+  # residual (two-level) ADC — the DEEP-10M mode (same 16B/node):
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 12 --coarse 2 \
+      --rescore bf16
 
 Reports recall@10 vs the corpus oracle and amortized device time via
 search_many_device (M batches, one dispatch), mean +/- std across
@@ -32,6 +35,11 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--m", type=int, default=16)
+    ap.add_argument("--coarse", type=int, default=0, metavar="MC",
+                    help=">0: residual (two-level) ADC — MC coarse-PQ "
+                         "subspaces + --m fine subspaces (+2 norm "
+                         "columns for l2); fixes the single-level "
+                         "ranking collapse on clustered 10M corpora")
     ap.add_argument("--ksub", type=int, default=256)
     ap.add_argument("--b", type=int, default=2048)
     ap.add_argument("--beam", type=int, default=64)
@@ -82,13 +90,15 @@ def main():
         oracle = np.asarray(oracle)
         np.savez_compressed(oc, oracle=oracle)
 
+    suffix = f"_coarse{args.coarse}" if args.coarse else ""
     pc = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts",
-        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}.npz")
+        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}{suffix}.npz")
     books = codes = None
     if os.path.exists(pc):
         z = np.load(pc)
-        books, codes = z["books"], z["codes"]
+        books = (z["books_c"], z["books_f"]) if args.coarse else z["books"]
+        codes = z["codes"]
         log(f"pq cache {pc}")
 
     interpret = args.interpret or jax.default_backend() == "cpu"
@@ -99,11 +109,17 @@ def main():
     eng = PqBeamEngine(
         corpus, adjacency, medoid, metric="l2", m=args.m, ksub=args.ksub,
         qb=args.qb, visited_pool=args.visited, rescore=args.rescore,
-        codebooks=books, codes=codes, interpret=interpret,
+        codebooks=books, codes=codes, coarse_m=args.coarse,
+        interpret=interpret,
     )
     if books is None:
-        np.savez_compressed(
-            pc, books=eng.codebooks, codes=np.asarray(eng.codes))
+        if args.coarse:
+            np.savez_compressed(
+                pc, books_c=eng.codebooks[0], books_f=eng.codebooks[1],
+                codes=np.asarray(eng.codes))
+        else:
+            np.savez_compressed(
+                pc, books=eng.codebooks, codes=np.asarray(eng.codes))
     log(f"engine up in {time.time()-t0:.0f}s")
 
     t0 = time.time()
@@ -150,6 +166,7 @@ def main():
     qps = b / per_batch
     row = {
         "engine": "pq-fused", "n": n, "d": d, "m": args.m,
+        "coarse": args.coarse,
         "ksub": args.ksub, "beam": args.beam, "visited": args.visited,
         "b": b, "mbatches": mb, "reps": args.reps,
         "rescore": args.rescore,

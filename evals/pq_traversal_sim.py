@@ -45,6 +45,19 @@ def main():
                     help="use the XLA beam engine (10M: fused inline "
                          "blocks for x_hat would not fit)")
     ap.add_argument("--artifact", default=None)
+    ap.add_argument("--residual", type=int, default=0, metavar="NC",
+                    help="IVF-PQ style: subtract the nearest of NC "
+                         "coarse centroids, PQ-encode the RESIDUAL; "
+                         "x_hat = coarse[assign] + decode(codes). "
+                         "Same per-node byte budget + a 2B coarse id "
+                         "(ADC adds one [NC] table lookup per cand).")
+    ap.add_argument("--coarse", type=int, default=0, metavar="MC",
+                    help="the KERNEL-feasible residual form: the coarse "
+                         "quantizer is itself a product quantizer over "
+                         "MC subspaces (ksub^MC effective cells), so "
+                         "every code column is a uniform ADC subspace "
+                         "(ops/pq.py train_residual_pq). --m is the "
+                         "FINE subspace count.")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -80,22 +93,76 @@ def main():
     log(f"artifact {art} loaded in {time.time()-t0:.0f}s")
 
     t0 = time.time()
+    suffix = f"_res{args.residual}" if args.residual else ""
+    if args.coarse:
+        suffix = f"_coarse{args.coarse}"
     pc = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts",
-        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}.npz")
-    if os.path.exists(pc):
+        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}{suffix}.npz")
+    if args.coarse:
+        from leann_tpu.ops.pq import (
+            encode_residual_pq, reconstruct_residual_pq, train_residual_pq)
+
+        if os.path.exists(pc):
+            z = np.load(pc)
+            books_c, books_f, codes = z["books_c"], z["books_f"], z["codes"]
+            log(f"pq cache {pc}")
+        else:
+            sample = corpus[rng.choice(n, min(n, 262_144), replace=False)]
+            books_c, books_f = train_residual_pq(
+                sample, mc=args.coarse, mf=args.m, ksub=args.ksub, iters=10)
+            codes, _ = encode_residual_pq(corpus, books_c, books_f)
+            np.savez_compressed(
+                pc, books_c=books_c, books_f=books_f, codes=codes)
+        xh = reconstruct_residual_pq(codes, books_c, books_f)
+        rel = float(np.linalg.norm(corpus[:100_000] - xh[:100_000])
+                    / np.linalg.norm(corpus[:100_000]))
+        log(f"coarse-pq mc={args.coarse} mf={args.m} encoded in "
+            f"{time.time()-t0:.0f}s; rel recon err {rel:.3f}")
+    elif os.path.exists(pc):
         z = np.load(pc)
         books, codes = z["books"], z["codes"]
+        coarse = z["coarse"] if args.residual else None
+        assign = z["assign"] if args.residual else None
         log(f"pq cache {pc}")
+    elif args.residual:
+        from leann_tpu.ops.ivf import _assign_chunked, kmeans
+
+        nc = args.residual
+        tr = corpus[rng.choice(n, min(n, 1_048_576), replace=False)]
+        coarse, _ = kmeans(tr, nc, iters=8)
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        assign = np.empty(n, np.int32)
+        cd = _jnp.asarray(coarse)
+        step = 262_144
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            assign[s:e] = np.asarray(_assign_chunked(
+                _jnp.asarray(corpus[s:e]), cd, nc, "l2",
+                min(65536, e - s)))[: e - s]
+        log(f"coarse assign done {time.time()-t0:.0f}s")
+        resid = corpus - coarse[assign]
+        sample = resid[rng.choice(n, min(n, 262_144), replace=False)]
+        books = train_pq(sample, m=args.m, ksub=args.ksub, iters=10)
+        codes = encode_pq(resid, books)
+        del resid
+        np.savez_compressed(pc, books=books, codes=codes,
+                            coarse=coarse, assign=assign)
     else:
         sample = corpus[rng.choice(n, 262_144, replace=False)]
         books = train_pq(sample, m=args.m, ksub=args.ksub, iters=10)
         codes = encode_pq(corpus, books)
         np.savez_compressed(pc, books=books, codes=codes)
-    xh = reconstruct_pq(codes, books)
-    rel = float(np.linalg.norm(corpus[:100_000] - xh[:100_000])
-                / np.linalg.norm(corpus[:100_000]))
-    log(f"pq trained+encoded in {time.time()-t0:.0f}s; rel recon err {rel:.3f}")
+    if not args.coarse:
+        xh = reconstruct_pq(codes, books)
+        if args.residual:
+            xh += coarse[assign]
+        rel = float(np.linalg.norm(corpus[:100_000] - xh[:100_000])
+                    / np.linalg.norm(corpus[:100_000]))
+        log(f"pq trained+encoded in {time.time()-t0:.0f}s; "
+            f"rel recon err {rel:.3f}")
 
     oc = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "artifacts",
@@ -143,6 +210,7 @@ def main():
             ids, _ = eng.search(queries, k=beam, beam_width=beam)
             row = {
                 "engine": "xla", "n": n, "d": d, "m": args.m,
+                "residual": args.residual, "coarse": args.coarse,
                 "ksub": args.ksub, "beam": beam, "recon_err": round(rel, 3),
                 "recall_beam_rescore": round(rescore_recall(ids), 4),
             }
@@ -169,6 +237,7 @@ def main():
                 expansions=2, qb=16, ring_size=1024, track_visited=256)
             row = {
                 "engine": "fused-int8(xhat)", "n": n, "d": d, "m": args.m,
+                "residual": args.residual, "coarse": args.coarse,
                 "ksub": args.ksub, "beam": beam, "recon_err": round(rel, 3),
                 "recall_beam_rescore": round(rescore_recall(beam_ids), 4),
                 "recall_beam+visited_rescore": round(rescore_recall(

@@ -46,6 +46,13 @@ BEAMS = tuple(
     int(b) for b in os.environ.get("RS_BEAMS", "32,48,64").split(","))
 VISITED = tuple(
     int(v) for v in os.environ.get("RS_VISITED", "128,256").split(","))
+# Graph density (the strongest recall lever per the hardness-knob
+# ladder, RESULTS_r3 §5: R48/L96 + wide beam recovers >= 0.95 on every
+# structured config). Denser graphs cost build time, not extra encoder
+# forwards per hop — the recompute engine's per-hop cost is beam-width
+# encoder calls regardless of R.
+GRAPH_R = int(os.environ.get("RS_R", 32))
+GRAPH_L = int(os.environ.get("RS_L", 48))
 
 
 def log(m):
@@ -81,7 +88,7 @@ def main():
 
     t0 = time.time()
     adjacency, medoid = build_vamana(
-        vectors, graph_degree=32, complexity=48, metric="ip",
+        vectors, graph_degree=GRAPH_R, complexity=GRAPH_L, metric="ip",
         wave_size=8192,
     )
     log(f"graph build: {time.time() - t0:.1f}s")
@@ -112,6 +119,7 @@ def main():
             print(json.dumps({
                 "config": 3, "n": N, "t": T,
                 "enc": f"{cfg.num_layers}L{cfg.hidden_size}",
+                "r": GRAPH_R, "l": GRAPH_L,
                 "beam": beam,
                 "visited": visited,
                 "recall_at_10": round(rec, 4),

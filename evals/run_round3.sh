@@ -42,9 +42,15 @@ run sharded_fused 3600 \
   python evals/sharded_device_check.py --n 1000000 --d 128
 
 # 2a. PQ fused engine at 1M x 128 (first-hardware shakeout of the PQ
-# kernel; recall at 1M measured by sim first — see RESULTS_r3 2.)
+# kernel; recall at 1M measured by sim first — see RESULTS_r3 2.;
+# single-level collapses at 1M too: 0.23 @ beam 96, /tmp/pqsim1m.log)
 run pq_1m 3600 \
   python evals/pq_device_check.py --n 1000000 --d 128 --m 16 --ksub 256
+
+# 2a'. residual mode at 1M (the fix; same total 16 code columns)
+run pq_1m_res 5400 \
+  python evals/pq_device_check.py --n 1000000 --d 128 --m 12 --coarse 2 \
+    --ksub 256
 
 # 2b. XLA row-gather at 10M single-pass graph (the round-2 serving
 # path; the refined-graph row below is the flagship)
@@ -59,8 +65,11 @@ run build_1m 5400 \
       ART_OUT=/tmp/vamana_rebuild_check.npz LEANN_BUILD_PROFILE=1 \
   python evals/build_artifact.py
 
-# 5. pruned-recompute sweep (beam x visited) at 100k
-run recompute_100k 5400 python evals/recompute_scale.py
+# 5. pruned-recompute sweep (beam x visited) at 100k; denser graph
+# (R48/L96) + wide beams — the hardness-ladder recipe for >= 0.95
+run recompute_100k 7200 \
+  env RS_R=48 RS_L=96 RS_BEAMS=64,96,128 RS_VISITED=256 \
+  python evals/recompute_scale.py
 
 # 2c. second Vamana pass over the 10M artifact (recall 0.902 -> target
 # >= 0.95), then the DEEP-10M flagship row: XLA graph engine on the
@@ -77,6 +86,15 @@ run xla_10m_p2 7200 \
 run pq_10m 5400 \
   python evals/pq_device_check.py --n 10000000 --d 96 --m 16 --ksub 256 \
     --rescore bf16
+
+# 2e. residual (two-level) PQ at DEEP-10M: the fix for 2d's collapse —
+# coarse-PQ (mc=2) removes cluster-center energy, fine PQ (mf=12)
+# encodes the residual, 2 norm columns close the l2 algebra; same
+# 16B/node record geometry, UNCHANGED kernel. Encoding 10M on first
+# run ~20-30min host time; cached thereafter.
+run pq_10m_res 10800 \
+  python evals/pq_device_check.py --n 10000000 --d 96 --m 12 --coarse 2 \
+    --ksub 256 --rescore bf16
 
 # 8. hardness sweep at 200k (all 9 configs, ivf + graph)
 run hardness 10800 python evals/hardness_sweep.py --n 200000 --d 128

@@ -21,7 +21,7 @@ is a TPU-scale capability the CPU design never needed.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -139,3 +139,147 @@ def adc_lut(
     m, ksub, dsub = books.shape
     q = queries.reshape(b, m, dsub)
     return jnp.einsum("bmd,mkd->bmk", q, books)
+
+# ----------------------------------------------------- residual (two-level)
+#
+# Measured (evals/pq_traversal_sim.py, 2026-08-18): single-level PQ
+# ADC cannot RANK clustered corpora at scale — at 10M x 96 m=16 the
+# quantization error exceeds the within-cluster score spread and
+# traversal recall collapses to ~0.07. The fix is the IVF-PQ insight:
+# quantize coarsely first, PQ-encode the much smaller RESIDUAL.
+#
+# TPU twist: a flat coarse codebook (kmeans-1024) would make the ADC
+# LUT cell-dependent (the classic |c_a + r|^2 cross term), which the
+# one-hot-matmul kernel cannot gather. Instead the coarse quantizer is
+# ITSELF a product quantizer (mc subspaces over d/mc dims -> ksub^mc
+# effective cells), and the exact |x_hat|^2 is stored per node,
+# quantized to 16 bits split across two extra 8-bit code columns whose
+# "LUTs" are constant affine ramps. Every column is then a uniform
+# (ksub<=256, 8-bit) ADC subspace and the traversal kernel runs
+# UNCHANGED:
+#
+#   score = sum_j LUT[j, code_j]
+#         = 2<q, c_a> + 2<q, r_hat> - |x_hat|^2      (l2)
+#
+# The reference has no analog (no quantization at all); this is what
+# makes DEEP-10M-scale graph serving fit one TPU's HBM.
+
+
+def train_residual_pq(
+    sample: np.ndarray,   # [S, D] f32
+    mc: int,
+    mf: int,
+    ksub: int = 256,
+    iters: int = 12,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Train coarse-PQ books [mc, ksub, d/mc] on the sample, then fine
+    books [mf, ksub, d/mf] on the coarse residuals."""
+    books_c = train_pq(sample, m=mc, ksub=ksub, iters=iters, seed=seed)
+    codes_c = encode_pq(sample, books_c)
+    resid = sample - reconstruct_pq(codes_c, books_c)
+    books_f = train_pq(resid, m=mf, ksub=ksub, iters=iters, seed=seed + 1)
+    return books_c, books_f
+
+
+def encode_residual_pq(
+    vectors: np.ndarray,   # [N, D] f32
+    books_c: np.ndarray,
+    books_f: np.ndarray,
+    chunk: int = 262144,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode to ([N, mc+mf] uint8 codes, [N] f32 exact |x_hat|^2)."""
+    n, d = vectors.shape
+    mc = books_c.shape[0]
+    mf = books_f.shape[0]
+    codes = np.empty((n, mc + mf), np.uint8)
+    nsq = np.empty(n, np.float32)
+    for i in range(0, n, chunk):
+        blk = vectors[i : i + chunk]
+        cc = encode_pq(blk, books_c, chunk=chunk)
+        xc = reconstruct_pq(cc, books_c, chunk=chunk)
+        cf = encode_pq(blk - xc, books_f, chunk=chunk)
+        xh = xc + reconstruct_pq(cf, books_f, chunk=chunk)
+        codes[i : i + chunk, :mc] = cc
+        codes[i : i + chunk, mc:] = cf
+        nsq[i : i + chunk] = np.einsum(
+            "nd,nd->n", xh, xh, dtype=np.float64).astype(np.float32)
+    return codes, nsq
+
+
+def reconstruct_residual_pq(
+    codes: np.ndarray,     # [N, mc+mf] uint8
+    books_c: np.ndarray,
+    books_f: np.ndarray,
+    chunk: int = 1_000_000,
+) -> np.ndarray:
+    """x_hat = coarse recon + fine residual recon."""
+    mc = books_c.shape[0]
+    return (reconstruct_pq(codes[:, :mc], books_c, chunk=chunk)
+            + reconstruct_pq(codes[:, mc:], books_f, chunk=chunk))
+
+
+def quantize_norms(nsq: np.ndarray) -> Tuple[np.ndarray, float, float]:
+    """|x_hat|^2 -> ([N, 2] uint8 (hi, lo), offset, scale) with
+    nsq ~= offset + (hi * 256 + lo) * scale (u16 grid over the range;
+    max error scale/2 — orders below the ADC noise floor)."""
+    lo_v = float(nsq.min())
+    hi_v = float(nsq.max())
+    scale = max((hi_v - lo_v) / 65535.0, 1e-20)
+    q = np.clip(np.round((nsq - lo_v) / scale), 0, 65535).astype(np.uint16)
+    out = np.stack([(q >> 8).astype(np.uint8), (q & 255).astype(np.uint8)],
+                   axis=1)
+    return out, lo_v, scale
+
+
+def _embed_books(books: np.ndarray, d: int, d_off: int) -> np.ndarray:
+    """[m, ksub, dsub] -> [m, ksub, d] with subspace j's centroids
+    placed at columns [d_off + j*dsub, ...) and zeros elsewhere, so
+    LUT[j, c] = <q_full, B[j, c]>."""
+    m, ksub, dsub = books.shape
+    out = np.zeros((m, ksub, d), np.float32)
+    for j in range(m):
+        out[j, :, d_off + j * dsub : d_off + (j + 1) * dsub] = books[j]
+    return out
+
+
+def adc_affine(
+    d: int,
+    metric: str,              # "l2" | "ip"
+    books_c: Optional[np.ndarray],   # None => single-level PQ
+    books_f: np.ndarray,
+    ksub: int,
+    norm_offset: float = 0.0,
+    norm_scale: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Unified ADC-LUT affine form: LUT[b] = q_b @ W^T + B, i.e.
+    luts[b, j, c] = <q_b, W[j, c]> + B[j, c].
+
+    single-level:  W = C (ip) or 2C (l2),  B = 0 (ip) or -|C|^2 (l2)
+    residual(l2):  W = [2*Cc | 2*Cf | 0 | 0],
+                   B = [0 | 0 | -(256c*scale) - offset | -(c*scale)]
+    residual(ip):  W = [Cc | Cf],  B = 0  (no norm columns needed)
+
+    Returns (W [mt, ksub, d] f32, B [mt, ksub] f32)."""
+    scale2 = 2.0 if metric == "l2" else 1.0
+    if books_c is None:
+        w = _embed_books(np.asarray(books_f, np.float32), d, 0) * scale2
+        b = np.zeros(w.shape[:2], np.float32)
+        if metric == "l2":
+            b -= np.sum(
+                np.asarray(books_f, np.float64) ** 2, axis=2
+            ).astype(np.float32)
+        return w, b
+    wc = _embed_books(np.asarray(books_c, np.float32), d, 0) * scale2
+    wf = _embed_books(np.asarray(books_f, np.float32), d, 0) * scale2
+    parts_w = [wc, wf]
+    parts_b = [np.zeros(wc.shape[:2], np.float32),
+               np.zeros(wf.shape[:2], np.float32)]
+    if metric == "l2":
+        c = np.arange(ksub, dtype=np.float32)
+        b_hi = (-(c * 256.0) * norm_scale - norm_offset)[None, :]
+        b_lo = (-c * norm_scale)[None, :]
+        parts_w += [np.zeros((2, ksub, d), np.float32)]
+        parts_b += [np.concatenate([b_hi, b_lo], axis=0)]
+    return (np.concatenate(parts_w, axis=0),
+            np.concatenate(parts_b, axis=0))

@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from leann_tpu.ops.fused_beam import _bitonic_desc, _first_k_unexpanded
-from leann_tpu.ops.pq import adc_lut, encode_pq, train_pq
+from leann_tpu.ops.pq import encode_pq, reconstruct_residual_pq, train_pq
 
 NEG_INF = float("-inf")
 
@@ -568,8 +568,9 @@ class PqBeamEngine:
         kmeans_iters: int = 10,
         interpret: bool = False,
         seed: int = 0,
-        codebooks: Optional[np.ndarray] = None,
+        codebooks=None,           # [m,ksub,dsub] | (books_c, books_f)
         codes: Optional[np.ndarray] = None,
+        coarse_m: int = 0,        # >0: residual (two-level) ADC mode
     ):
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.n, self.d = vectors.shape
@@ -597,23 +598,71 @@ class PqBeamEngine:
             )
 
         rng = np.random.default_rng(seed)
-        if codebooks is None:
-            samp = vectors[
-                rng.choice(self.n, min(train_sample, self.n), replace=False)
-            ]
-            codebooks = train_pq(
-                samp, m=m, ksub=ksub, iters=kmeans_iters, seed=seed)
-        self.codebooks = np.asarray(codebooks, np.float32)
-        if codes is None:
-            codes = encode_pq(vectors, self.codebooks)
-        self.codes = np.asarray(codes, np.uint8)
+        from leann_tpu.ops.pq import (
+            adc_affine, encode_residual_pq, quantize_norms,
+            reconstruct_residual_pq, train_residual_pq,
+        )
+
+        if coarse_m:
+            # residual (two-level) mode: coarse-PQ + fine residual PQ
+            # + (l2) quantized exact |x_hat|^2 as two affine-LUT
+            # columns. Single-level ADC cannot rank clustered corpora
+            # at scale (see ops/pq.py residual section).
+            if ksub != 256:
+                raise ValueError("residual mode requires ksub=256")
+            if codebooks is None:
+                samp = vectors[rng.choice(
+                    self.n, min(train_sample, self.n), replace=False)]
+                codebooks = train_residual_pq(
+                    samp, mc=coarse_m, mf=m, ksub=ksub,
+                    iters=kmeans_iters, seed=seed)
+            books_c, books_f = codebooks
+            books_c = np.asarray(books_c, np.float32)
+            books_f = np.asarray(books_f, np.float32)
+            self.codebooks = (books_c, books_f)
+            if codes is None:
+                codes, nsq = encode_residual_pq(vectors, books_c, books_f)
+            else:
+                codes = np.asarray(codes, np.uint8)
+                xh = reconstruct_residual_pq(codes, books_c, books_f)
+                nsq = np.einsum(
+                    "nd,nd->n", xh, xh, dtype=np.float64
+                ).astype(np.float32)
+                del xh
+            self.codes = np.asarray(codes, np.uint8)
+            if metric == "l2":
+                nq, n_off, n_scale = quantize_norms(nsq)
+                codes_full = np.concatenate([self.codes, nq], axis=1)
+                self.norm_offset, self.norm_scale = n_off, n_scale
+            else:
+                codes_full = self.codes
+                self.norm_offset = self.norm_scale = 0.0
+            self.mt = codes_full.shape[1]
+            lut_w, lut_b = adc_affine(
+                self.d, metric, books_c, books_f, ksub,
+                self.norm_offset, self.norm_scale)
+        else:
+            if codebooks is None:
+                samp = vectors[rng.choice(
+                    self.n, min(train_sample, self.n), replace=False)]
+                codebooks = train_pq(
+                    samp, m=m, ksub=ksub, iters=kmeans_iters, seed=seed)
+            self.codebooks = np.asarray(codebooks, np.float32)
+            if codes is None:
+                codes = encode_pq(vectors, self.codebooks)
+            self.codes = np.asarray(codes, np.uint8)
+            codes_full = self.codes
+            self.mt = m
+            lut_w, lut_b = adc_affine(
+                self.d, metric, None, self.codebooks, ksub)
+        self.coarse_m = coarse_m
         codes1 = np.concatenate(
-            [codes, np.zeros((1, m), np.uint8)], axis=0)    # sentinel row
+            [codes_full, np.zeros((1, self.mt), np.uint8)], axis=0)
         self.records = pack_pq_records(
             jnp.asarray(adj), jnp.asarray(codes1), self.bits)
-        self.books_dev = jnp.asarray(self.codebooks)
-        # |C|^2 folded into the L2 LUT
-        self.books_sq = jnp.sum(self.books_dev * self.books_dev, axis=2)
+        # affine LUT operands: luts = q @ W^T + B (see ops/pq.adc_affine)
+        self.lut_w = jnp.asarray(lut_w.reshape(self.mt * ksub, self.d))
+        self.lut_b = jnp.asarray(lut_b.reshape(self.mt * ksub))
 
         # exact-rescore corpus (+ sentinel zero row). bf16/int8 cast on
         # the HOST: a device-side f32 staging copy would transiently need
@@ -654,12 +703,26 @@ class PqBeamEngine:
         # candidate scores would bias the merge)
         from leann_tpu.ops.pq import reconstruct_pq
 
-        seed_codes = np.asarray(codes)[np.asarray(self.seed_ids)]
-        seed_hat = reconstruct_pq(seed_codes, self.codebooks)
+        sid = np.asarray(self.seed_ids)
+        if coarse_m:
+            seed_hat = reconstruct_residual_pq(
+                self.codes[sid], books_c, books_f)
+            if metric == "l2":
+                # quantized norm — the exact value the kernel's norm
+                # LUT columns contribute for these nodes
+                nq_s = codes_full[sid, -2:].astype(np.float64)
+                seed_nsq = (self.norm_offset
+                            + (nq_s[:, 0] * 256.0 + nq_s[:, 1])
+                            * self.norm_scale).astype(np.float32)
+            else:
+                seed_nsq = np.zeros(len(sid), np.float32)
+        else:
+            seed_hat = reconstruct_pq(self.codes[sid], self.codebooks)
+            seed_nsq = (seed_hat.astype(np.float64) ** 2).sum(1).astype(
+                np.float32)
         self.seed_vecs_hat = jnp.asarray(seed_hat.astype(np.float32)).astype(
             jnp.bfloat16)
-        self.seed_hat_nsq = jnp.asarray(
-            (seed_hat.astype(np.float64) ** 2).sum(1).astype(np.float32))
+        self.seed_hat_nsq = jnp.asarray(seed_nsq)
 
     def search(self, queries, k=10, beam_width=64, exclude=None,
                max_iters=None):
@@ -689,11 +752,11 @@ class PqBeamEngine:
             exc[:b] = np.asarray(exclude, dtype=np.int32)
         mi = max_iters or (4 * beam_width) // 2 + 32
         ids, scores = _pq_search_jit(
-            jnp.asarray(q), self.records, self.books_dev, self.books_sq,
+            jnp.asarray(q), self.records, self.lut_w, self.lut_b,
             self.corpus, self.corpus_nsq, self.corpus_scale,
             self.seed_ids, self.seed_vecs_hat,
             self.seed_hat_nsq, jnp.asarray(exc),
-            self.r, self.m, self.ksub, self.bits, beam_width, mi,
+            self.r, self.mt, self.ksub, self.bits, beam_width, mi,
             self.metric, self.qb, self.ring_size, self.visited_pool, k,
             self.interpret,
         )
@@ -708,11 +771,11 @@ class PqBeamEngine:
         exc = jnp.full((b,), -1, jnp.int32)
         mi = max_iters or (4 * beam_width) // 2 + 32
         return _pq_search_many_jit(
-            qs, self.records, self.books_dev, self.books_sq,
+            qs, self.records, self.lut_w, self.lut_b,
             self.corpus, self.corpus_nsq, self.corpus_scale,
             self.seed_ids, self.seed_vecs_hat,
             self.seed_hat_nsq, exc,
-            self.r, self.m, self.ksub, self.bits, beam_width, mi,
+            self.r, self.mt, self.ksub, self.bits, beam_width, mi,
             self.metric, self.qb, self.ring_size, self.visited_pool, k,
             self.interpret,
         )
@@ -725,20 +788,23 @@ class PqBeamEngine:
                      "interpret"),
 )
 def _pq_search_jit(
-    queries, records, books, books_sq, corpus, corpus_nsq, corpus_scale,
+    queries, records, lut_w, lut_b, corpus, corpus_nsq, corpus_scale,
     seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
     r, m, ksub, bits, beam_width, max_iters, metric, qb, ring_size,
     visited_pool, k, interpret,
 ):
     """LUT build -> seed select (ADC space) -> PQ kernel -> exact rescore
-    of beam + visited pool, one jit."""
+    of beam + visited pool, one jit. `m` counts TOTAL code columns (for
+    residual mode: coarse + fine + norm); the affine operands lut_w
+    [m*ksub, D] / lut_b [m*ksub] encode metric, mode, and norm folding
+    (ops/pq.adc_affine)."""
     b, d = queries.shape
     n_sentinel = records.shape[0] - 1
 
-    lut = adc_lut(queries, books)                            # [B, m, ksub]
-    if metric == "l2":
-        lut = 2.0 * lut - books_sq[None, :, :]
-    luts = lut.reshape(b, m * ksub)
+    luts = jnp.dot(
+        queries, lut_w.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + lut_b[None, :]                                       # [B, m*ksub]
 
     # seed scores in ADC space: score(q, seed) = sum_j LUT — identical
     # to scoring the reconstructed seed vector
@@ -799,14 +865,14 @@ def _pq_search_jit(
                      "interpret"),
 )
 def _pq_search_many_jit(
-    qs, records, books, books_sq, corpus, corpus_nsq, corpus_scale,
+    qs, records, lut_w, lut_b, corpus, corpus_nsq, corpus_scale,
     seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
     r, m, ksub, bits, beam_width, max_iters, metric, qb, ring_size,
     visited_pool, k, interpret,
 ):
     def body(_, q):
         ids, scores = _pq_search_jit(
-            q, records, books, books_sq, corpus, corpus_nsq, corpus_scale,
+            q, records, lut_w, lut_b, corpus, corpus_nsq, corpus_scale,
             seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
             r, m, ksub, bits, beam_width, max_iters, metric, qb,
             ring_size, visited_pool, k, interpret,

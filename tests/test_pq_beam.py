@@ -266,3 +266,100 @@ def test_int8_rescore_mode_matches_f32():
         for a, b in zip(i32, i8)
     ])
     assert overlap >= 0.9
+
+
+def test_residual_pq_affine_identity():
+    """The affine LUT operands must reproduce the ADC contract exactly:
+    summing LUT rows over a node's code columns == 2<q, x_hat> -
+    |x_hat|^2_quantized (l2) / <q, x_hat> (ip)."""
+    from leann_tpu.ops.pq import (
+        adc_affine, encode_residual_pq, quantize_norms,
+        reconstruct_residual_pq, train_residual_pq,
+    )
+
+    rng = np.random.default_rng(0)
+    n, d, mc, mf, ksub = 2000, 64, 2, 8, 256
+    x = _corpus(n, d, clusters=40)
+    books_c, books_f = train_residual_pq(x, mc=mc, mf=mf, ksub=ksub, iters=6)
+    codes, nsq = encode_residual_pq(x, books_c, books_f)
+    xh = reconstruct_residual_pq(codes, books_c, books_f)
+    np.testing.assert_allclose(
+        nsq, np.einsum("nd,nd->n", xh, xh), rtol=1e-4)
+
+    nq, off, scale = quantize_norms(nsq)
+    nsq_q = off + (nq[:, 0].astype(np.float64) * 256 + nq[:, 1]) * scale
+    # quantization bound + f32 representation error of nsq itself
+    assert np.abs(nsq_q - nsq).max() <= scale * 0.5 + np.abs(nsq).max() * 1e-5
+
+    q = rng.standard_normal((4, d)).astype(np.float32)
+    for metric in ("l2", "ip"):
+        w, b = adc_affine(d, metric, books_c, books_f, ksub, off, scale)
+        mt = mc + mf + (2 if metric == "l2" else 0)
+        assert w.shape == (mt, ksub, d) and b.shape == (mt, ksub)
+        luts = np.einsum("bd,jkd->bjk", q, w) + b[None]
+        full = np.concatenate([codes, nq], axis=1) if metric == "l2" else codes
+        got = luts[
+            :, np.arange(mt)[None, :], full[:16].astype(np.int64)
+        ].sum(axis=2)                                        # [4, 16]
+        if metric == "l2":
+            want = 2.0 * q @ xh[:16].T - nsq_q[None, :16]
+        else:
+            want = q @ xh[:16].T
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_residual_beats_plain_pq_recon():
+    """On clustered data the residual encoder's reconstruction error
+    must be well below single-level PQ at the same fine m (the coarse
+    level removes the cluster-center energy the flat codebooks waste
+    capacity on)."""
+    from leann_tpu.ops.pq import (
+        encode_pq, encode_residual_pq, reconstruct_pq,
+        reconstruct_residual_pq, train_pq, train_residual_pq,
+    )
+
+    x = _corpus(4000, 64, clusters=200)
+    books = train_pq(x, m=8, ksub=256, iters=6)
+    xp = reconstruct_pq(encode_pq(x, books), books)
+    books_c, books_f = train_residual_pq(x, mc=2, mf=8, ksub=256, iters=6)
+    codes, _ = encode_residual_pq(x, books_c, books_f)
+    xr = reconstruct_residual_pq(codes, books_c, books_f)
+    err_plain = np.linalg.norm(x - xp) / np.linalg.norm(x)
+    err_res = np.linalg.norm(x - xr) / np.linalg.norm(x)
+    assert err_res < err_plain * 0.8, (err_res, err_plain)
+
+
+@pytest.mark.parametrize("metric", ["l2", "ip"])
+def test_pq_engine_residual_interpret(metric):
+    """Residual (two-level) mode end-to-end through the UNCHANGED
+    kernel, at the DEEP-10M record geometry: d=96, R=48, mc=2 + mf=12
+    (+2 norm columns for l2) -> mt=16 -> cp=2 planes, 1KB/node."""
+    n, d, r = 1200, 96, 48
+    vecs = _corpus(n, d)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=48, metric=metric, wave_size=512
+    )
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric=metric, m=12, coarse_m=2, ksub=256,
+        qb=8, ring_size=256, visited_pool=128, interpret=True,
+    )
+    assert eng.mt == (16 if metric == "l2" else 14)
+    if metric == "l2":
+        assert eng.records.shape == (n + 1, 2, 128)
+    rng = np.random.default_rng(5)
+    q = vecs[rng.integers(0, n, 8)] + rng.standard_normal((8, d)).astype(
+        np.float32) * 0.05
+    idx, sc = eng.search(q, k=10, beam_width=32)
+    _, oracle = exact_topk(q, vecs, 10, metric=metric)
+    recall = np.mean([
+        len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(8)
+    ])
+    assert recall >= 0.8, recall
+    # rescored scores are exact
+    i0 = idx[0, 0]
+    if metric == "l2":
+        want = 2 * float(q[0] @ vecs[i0]) - float(vecs[i0] @ vecs[i0])
+    else:
+        want = float(q[0] @ vecs[i0])
+    np.testing.assert_allclose(sc[0, 0], want, rtol=1e-4)
