@@ -57,6 +57,12 @@ run pq_1m_res 5400 \
 run xla_10m 7200 \
   python evals/device_time.py --backend xla-graph --n 10000000 --d 96
 
+# 2b'. random row-gather roofline at 10M: XLA take vs Pallas DMA
+# descriptors. Decides whether a pointer-gather traversal kernel
+# (VERDICT r2 #2) can beat the XLA path — see ops/gather_score.py.
+run gather_10m 3600 \
+  python evals/gather_roofline.py --n 10000000 --b 2048 --r 48
+
 # 3. build-wave pipelining: 1M x 128 R48 L80 2-pass end-to-end
 # (ART_OUT to a scratch path: the committed artifact must not change
 # mid-round — the oracle/PQ caches key on it)
