@@ -71,6 +71,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--beam", type=int, default=64)
+    ap.add_argument("--expansions", type=int, default=2,
+                    help="beam entries expanded per hop (graph engines);"
+                         " E=4 halves sequential gather rounds vs E=2 at"
+                         " the same total gathered rows")
     ap.add_argument("--nprobe", type=int, default=0)
     ap.add_argument("--recall-q", type=int, default=1024)
     ap.add_argument("--artifact", default=None,
@@ -187,13 +191,14 @@ def main():
             t0 = time.time()
             eng = BeamSearchEngine(
                 corpus, a["adjacency"], int(a["medoid"]), metric="l2",
-                block_mode="none")
+                block_mode="none", expansions=args.expansions)
             log(f"engine up in {time.time()-t0:.0f}s")
             call = lambda qs: eng.search_many_device(  # noqa: E731
                 qs, k=args.k, beam_width=args.beam)
             flops_per_batch = 0.0
             bytes_per_batch = 0.0
             knobs = (f"R={a['adjacency'].shape[1]}, beam={args.beam}, "
+                     f"E={args.expansions}, "
                      f"xla-row-gather, visited={eng.visited_pool}, "
                      f"graph={os.path.basename(art)}")
             t0 = time.time()

@@ -86,6 +86,16 @@ run xla_10m_p2 7200 \
   python evals/device_time.py --backend xla-graph --n 10000000 --d 96 \
     --artifact evals/artifacts/vamana_n10000000_r48_l64p2.npz
 
+# 2c'. expansion sweep on the refined graph: E=4 halves sequential
+# gather rounds at the same gathered-row count — if the XLA engine is
+# round-latency-bound (not row-bound) this is a near-2x QPS lever.
+# CPU check (2026-08-18, 1M beam 64): E=2 recall 0.9933, E=4 0.9943 —
+# no recall cost (wider per-hop candidate blocks slightly help).
+run xla_10m_p2_e4 5400 \
+  python evals/device_time.py --backend xla-graph --n 10000000 --d 96 \
+    --artifact evals/artifacts/vamana_n10000000_r48_l64p2.npz \
+    --expansions 4
+
 # 2d. PQ fused engine at DEEP-10M shape: records the honest negative
 # (CPU sim predicts recall collapse ~0.07-0.25 — RESULTS_r3 2.); cheap
 # because the PQ codes and oracle are cached. Runs LAST of the 10M rows.
