@@ -81,6 +81,9 @@ def main():
                     help="graph .npz for vamana/xla-graph (default: the "
                          "committed artifact for this n)")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture one jax.profiler device trace per "
+                         "backend under DIR/<backend>")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -229,6 +232,14 @@ def main():
         ]
         jax.block_until_ready(qs_windows)
         times = time_many(call, qs_windows, args.reps)
+        if args.trace:
+            # one traced window per backend: the committed roofline
+            # evidence (op-level device time, fusion boundaries, HBM
+            # stalls) behind the amortized numbers
+            tdir = os.path.join(args.trace, backend)
+            with jax.profiler.trace(tdir):
+                jax.block_until_ready(call(qs_windows[0]))
+            log(f"profiler trace -> {tdir}")
         per_batch = np.array(times) / m
         qps = b / per_batch
         row = {

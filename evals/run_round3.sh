@@ -23,9 +23,13 @@ run() { # name, timeout_s, cmd...
   fi
 }
 
-# 1. device-time truth at 1M x 128: ivf + fused graph (flat already done)
+# 1. device-time truth at 1M x 128: ivf + fused graph (flat already
+# done). --trace captures one op-level device profile per backend —
+# the roofline evidence behind the amortized numbers (kept in /tmp;
+# summarize into RESULTS_r3, don't commit the raw trace).
 run ivf_vamana_1m 3600 \
-  python evals/device_time.py --backend ivf,vamana --n 1000000 --d 128
+  python evals/device_time.py --backend ivf,vamana --n 1000000 --d 128 \
+    --trace /tmp/r3_trace
 
 # 1b. batch-scaling check: flat + ivf at B=8192 (VERDICT r2 next #1)
 run flat_ivf_8k 3600 \
