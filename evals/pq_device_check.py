@@ -9,10 +9,19 @@ show up on the chip). Runs against a prebuilt Vamana artifact:
   # residual (two-level) ADC — the DEEP-10M mode (same 16B/node):
   python evals/pq_device_check.py --n 10000000 --d 96 --m 12 --coarse 2 \
       --rescore bf16
+  # the positive regime: low-intrinsic-dim corpus + OPQ rotation
+  # (RESULTS_r3 section 2 — sim recall 0.97/0.995 at 200k):
+  python evals/pq_device_check.py --n 1000000 --d 96 --corpus lowdim \
+      --opq --rescore bf16
 
 Reports recall@10 vs the corpus oracle and amortized device time via
 search_many_device (M batches, one dispatch), mean +/- std across
 windows — same methodology as evals/device_time.py.
+
+--corpus lowdim swaps the bench mixture for the intrinsic-dim-16
+corpus (evals/pq_lowdim_sim.make_lowdim, same seed), building and
+caching its Vamana graph on first run; --opq trains the learned
+rotation (ops/pq.train_opq) and folds it into the affine LUT.
 """
 
 from __future__ import annotations
@@ -50,9 +59,20 @@ def main():
     ap.add_argument("--recall-q", type=int, default=1024)
     ap.add_argument("--rescore", default="f32")
     ap.add_argument("--artifact", default=None)
+    ap.add_argument("--corpus", default="bench",
+                    choices=["bench", "lowdim"],
+                    help="bench = the shared mixture pool; lowdim = "
+                         "intrinsic-dim-16 corpus (the PQ engine's "
+                         "positive regime, RESULTS_r3 section 2)")
+    ap.add_argument("--lowdim-k", type=int, default=16)
+    ap.add_argument("--opq", action="store_true",
+                    help="learn an OPQ rotation (single-level mode "
+                         "only); folded into the LUT, zero serving cost")
     ap.add_argument("--interpret", action="store_true",
                     help="force Pallas interpret mode (auto on CPU)")
     args = ap.parse_args()
+    if args.opq and args.coarse:
+        ap.error("--opq is single-level only (no --coarse)")
 
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -66,21 +86,46 @@ def main():
 
     n, d, b = args.n, args.d, args.b
     log(f"devices: {jax.devices()}")
-    from corpus_cache import get_pool
+    adir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    if args.corpus == "lowdim":
+        from pq_lowdim_sim import make_lowdim
 
-    pool = get_pool(n, d)
+        pool = make_lowdim(
+            np.random.default_rng(0), n + args.recall_q, d,
+            args.lowdim_k, clusters=1024)
+        tag = f"lowdim{args.lowdim_k}"
+    else:
+        from corpus_cache import get_pool
+
+        pool = get_pool(n, d)
+        tag = ""
     corpus, rq = pool[:n], pool[n : n + args.recall_q]
 
-    art = args.artifact or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "artifacts",
-        f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
+    if args.artifact:
+        art = args.artifact
+    elif args.corpus == "lowdim":
+        art = os.path.join(adir, f"vamana_{tag}_n{n}_d{d}_r48_l80.npz")
+        if not os.path.exists(art):
+            from leann_tpu.ops.vamana import build_vamana
+
+            t0 = time.time()
+            adjacency, medoid = build_vamana(
+                corpus, graph_degree=48, complexity=80, metric="l2",
+                wave_size=8192)
+            np.savez_compressed(
+                art, adjacency=np.asarray(adjacency), medoid=medoid)
+            log(f"lowdim graph built in {time.time()-t0:.0f}s")
+    else:
+        art = os.path.join(
+            adir, f"vamana_n{n}_r48_l{80 if n <= 1_000_000 else 64}.npz")
     a = np.load(art)
     adjacency, medoid = a["adjacency"], int(a["medoid"])
     log(f"artifact {art}")
 
     oc = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "artifacts",
-        f"oracle_n{n}_d{d}_q{args.recall_q}.npz")
+        adir, f"oracle_{tag}n{n}_d{d}_q{args.recall_q}.npz"
+        if tag else f"oracle_n{n}_d{d}_q{args.recall_q}.npz")
     if os.path.exists(oc):
         oracle = np.load(oc)["oracle"]
         log(f"oracle cache {oc}")
@@ -91,15 +136,26 @@ def main():
         np.savez_compressed(oc, oracle=oracle)
 
     suffix = f"_coarse{args.coarse}" if args.coarse else ""
+    if args.opq:
+        suffix += "_opq"
     pc = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "artifacts",
-        f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}{suffix}.npz")
-    books = codes = None
+        adir, f"pq_{tag}n{n}_d{d}_m{args.m}_k{args.ksub}{suffix}.npz"
+        if tag else f"pq_n{n}_d{d}_m{args.m}_k{args.ksub}{suffix}.npz")
+    books = codes = rot = None
     if os.path.exists(pc):
         z = np.load(pc)
         books = (z["books_c"], z["books_f"]) if args.coarse else z["books"]
         codes = z["codes"]
+        rot = z["rot"] if "rot" in z.files else None
         log(f"pq cache {pc}")
+    elif args.opq:
+        from leann_tpu.ops.pq import train_opq
+
+        t0 = time.time()
+        samp = corpus[np.random.default_rng(1).choice(
+            n, min(n, 262_144), replace=False)]
+        rot, books = train_opq(samp, m=args.m, ksub=args.ksub)
+        log(f"opq trained in {time.time()-t0:.0f}s")
 
     interpret = args.interpret or jax.default_backend() == "cpu"
     if interpret:
@@ -110,13 +166,17 @@ def main():
         corpus, adjacency, medoid, metric="l2", m=args.m, ksub=args.ksub,
         qb=args.qb, visited_pool=args.visited, rescore=args.rescore,
         codebooks=books, codes=codes, coarse_m=args.coarse,
-        interpret=interpret,
+        rotation=rot, interpret=interpret,
     )
-    if books is None:
+    if codes is None:
         if args.coarse:
             np.savez_compressed(
                 pc, books_c=eng.codebooks[0], books_f=eng.codebooks[1],
                 codes=np.asarray(eng.codes))
+        elif args.opq:
+            np.savez_compressed(
+                pc, books=eng.codebooks, codes=np.asarray(eng.codes),
+                rot=eng.rotation)
         else:
             np.savez_compressed(
                 pc, books=eng.codebooks, codes=np.asarray(eng.codes))
@@ -166,6 +226,7 @@ def main():
     qps = b / per_batch
     row = {
         "engine": "pq-fused", "n": n, "d": d, "m": args.m,
+        "corpus": args.corpus, "opq": bool(args.opq),
         "coarse": args.coarse,
         "ksub": args.ksub, "beam": args.beam, "visited": args.visited,
         "b": b, "mbatches": mb, "reps": args.reps,

@@ -105,10 +105,20 @@ def main():
         log(f"{label}: corpus + oracle in {time.time()-t0:.0f}s")
 
         t0 = time.time()
-        adjacency, medoid = build_vamana(
-            corpus, graph_degree=32, complexity=64, metric="l2",
-            wave_size=8192)
-        log(f"{label}: graph built in {time.time()-t0:.0f}s")
+        gc = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "artifacts",
+            f"lowdim_graph_{label}_n{n}_d{d}_s{args.seed}.npz")
+        if os.path.exists(gc):
+            g = np.load(gc)
+            adjacency, medoid = g["adjacency"], int(g["medoid"])
+            log(f"{label}: graph cache {gc}")
+        else:
+            adjacency, medoid = build_vamana(
+                corpus, graph_degree=32, complexity=64, metric="l2",
+                wave_size=8192)
+            np.savez_compressed(gc, adjacency=np.asarray(adjacency),
+                                medoid=medoid)
+            log(f"{label}: graph built in {time.time()-t0:.0f}s")
 
         corpus_dev = jnp.asarray(corpus)
 
@@ -149,6 +159,30 @@ def main():
                     sample, mc=2, mf=12, ksub=256, iters=10)
                 codes, _ = encode_residual_pq(corpus, bc, bf)
                 xh = reconstruct_residual_pq(codes, bc, bf)
+                rel = float(np.linalg.norm(corpus - xh)
+                            / np.linalg.norm(corpus))
+            elif variant == "opq":
+                from leann_tpu.ops.pq import train_opq
+
+                rot, bo = train_opq(sample, m=16, ksub=256, iters=10,
+                                    opq_iters=5)
+                xh = reconstruct_pq(
+                    encode_pq(corpus @ rot, bo), bo) @ rot.T
+                rel = float(np.linalg.norm(corpus - xh)
+                            / np.linalg.norm(corpus))
+            elif variant == "resopq":
+                # rotation learned on the single-level objective, then
+                # residual (mc2+mf12) books trained in the rotated
+                # frame — composes the two best variants; the engine
+                # supports it directly (rotation= + coarse_m=)
+                from leann_tpu.ops.pq import train_opq
+
+                rot, _ = train_opq(sample, m=16, ksub=256, iters=10,
+                                   opq_iters=5)
+                bc, bf = train_residual_pq(
+                    sample @ rot, mc=2, mf=12, ksub=256, iters=10)
+                codes, _ = encode_residual_pq(corpus @ rot, bc, bf)
+                xh = reconstruct_residual_pq(codes, bc, bf) @ rot.T
                 rel = float(np.linalg.norm(corpus - xh)
                             / np.linalg.norm(corpus))
             else:

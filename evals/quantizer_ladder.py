@@ -111,6 +111,22 @@ def main():
            {"t_s": round(time.time() - t0),
             "coarse_rel": round(float(np.linalg.norm(resid)) / xn, 4)})
 
+    # OPQ m16: learned rotation before single-level PQ (ops/pq.py
+    # train_opq). Expectation on THIS corpus: ~no gain — the
+    # within-cluster residual is isotropic, so no rotation can
+    # concentrate energy (the measured confirmation that the collapse
+    # is rate-distortion-bound, not a codebook-layout artifact). On
+    # anisotropic/low-intrinsic-dim corpora OPQ wins (tests/test_pq.py,
+    # evals/pq_lowdim_sim.py).
+    t0 = time.time()
+    from leann_tpu.ops.pq import train_opq
+
+    rot, bo = train_opq(x[:131_072], m=16, ksub=256, iters=args.iters,
+                        opq_iters=5)
+    report("opq-m16",
+           reconstruct_pq(encode_pq(x @ rot, bo), bo) @ rot.T,
+           {"t_s": round(time.time() - t0)})
+
     # flat kmeans-1024 coarse (2 bytes), fine-12 on the residual
     t0 = time.time()
     cf, _ = kmeans(x[:262_144], 1024, iters=args.iters)

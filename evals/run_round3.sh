@@ -56,6 +56,16 @@ run pq_1m_res 5400 \
   python evals/pq_device_check.py --n 1000000 --d 128 --m 12 --coarse 2 \
     --ksub 256
 
+# 2a''. the PQ engine's POSITIVE regime on chip: intrinsic-dim-16
+# corpus (real descriptor corpora live here — RESULTS_r3 section 2
+# lowdim sim: 0.97/0.995 recall at 200k) + OPQ rotation folded into
+# the LUT. Builds + caches the lowdim 1M graph on first run (~10-25min
+# device). This is the PQ engine's headline row; pq_1m above is its
+# honest negative on the max-entropy bench mixture.
+run pq_lowdim_1m 10800 \
+  python evals/pq_device_check.py --n 1000000 --d 96 --m 16 --ksub 256 \
+    --corpus lowdim --opq --rescore bf16
+
 # 2b. XLA row-gather at 10M single-pass graph (the round-2 serving
 # path; the refined-graph row below is the flagship)
 run xla_10m 7200 \

@@ -122,11 +122,25 @@ class GraphSearcher:
             from leann_tpu.store import pqfile
 
             m = next((mm for mm in (16, 12, 8) if d % mm == 0), 8)
-            books = codes = None
+            # LEANN_PQ_OPQ=1: learn an orthogonal rotation before PQ
+            # (ops/pq.train_opq). Zero serving cost — the rotation folds
+            # into the affine LUT operands — and a real reconstruction
+            # win on anisotropic corpora (no-op on the isotropic bench
+            # mixture; see evals/quantizer_ladder.py).
+            want_opq = os.environ.get("LEANN_PQ_OPQ", "0") == "1"
+            books = codes = rot = art = None
             if base:
-                art = pqfile.load_pq(base, n, metric)
+                art = pqfile.load_pq(base, n, metric, want_rot=want_opq)
                 if art is not None:
-                    books, codes = art
+                    books, codes, rot = art
+            if want_opq and rot is None:
+                from leann_tpu.ops.pq import train_opq
+
+                rng = np.random.default_rng(0)
+                samp = vectors[rng.choice(
+                    n, min(262_144, n), replace=False)]
+                rot, books = train_opq(samp, m=m, ksub=256)
+                codes = None
             self.engine = PqBeamEngine(
                 vectors=vectors,
                 adjacency=graph.adjacency,
@@ -140,14 +154,16 @@ class GraphSearcher:
                 qb=int(os.environ.get("LEANN_FUSED_QB", 16)),
                 codebooks=books,
                 codes=codes,
+                rotation=rot,
                 # hermetic CPU tests force LEANN_GRAPH_ENGINE=pq; the
                 # kernel runs in interpret mode off-TPU
                 interpret=not pallas_available(),
             )
-            if base and books is None:
+            if base and art is None:
                 pqfile.save_pq(
                     base, self.engine.codebooks,
                     np.asarray(self.engine.codes), n, metric,
+                    rot=self.engine.rotation,
                 )
         else:
             from leann_tpu.ops.beam import BeamSearchEngine

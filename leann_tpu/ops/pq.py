@@ -283,3 +283,49 @@ def adc_affine(
         parts_b += [np.concatenate([b_hi, b_lo], axis=0)]
     return (np.concatenate(parts_w, axis=0),
             np.concatenate(parts_b, axis=0))
+
+# ------------------------------------------------------------------- OPQ
+#
+# Optimized Product Quantization (Ge et al., CVPR 2013, OPQ-NP): learn
+# an orthogonal rotation R that redistributes variance across the m
+# subspaces before PQ, minimizing |X R - decode(encode(X R))|_F by
+# alternating (1) PQ retrain on the rotated sample and (2) the
+# Procrustes update R = U V^T from SVD(X^T Y). On isotropic data R is
+# a no-op (the bench mixture's max-entropy residual — measured in
+# evals/quantizer_ladder.py); on anisotropic / low-intrinsic-dim data
+# (real descriptor corpora) it concentrates correlated energy so the
+# per-subspace k-means stops wasting centroids.
+#
+# Serving cost: ZERO per record. Codes/records are built in the
+# rotated frame; the rotation folds into the affine LUT operands
+# (luts = (q R) W^T + B = q (W R^T)^T + B, see PqBeamEngine), and
+# |x_hat|^2 is rotation-invariant so the norm columns are unchanged.
+# The reference has no analog (no quantization at all).
+
+
+def train_opq(
+    sample: np.ndarray,   # [S, D] f32
+    m: int,
+    ksub: int = 256,
+    iters: int = 12,
+    opq_iters: int = 8,
+    seed: int = 0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (rot [D, D] f32 orthogonal, books [m, ksub, dsub]).
+    Encode with `encode_pq(x @ rot, books)`; decode back to the
+    original frame with `reconstruct_pq(codes, books) @ rot.T`."""
+    x = np.ascontiguousarray(sample, dtype=np.float32)
+    s, d = x.shape
+    rot = np.eye(d, dtype=np.float32)
+    for it in range(opq_iters):
+        xr = x @ rot
+        # cheap inner k-means while alternating; full train at the end
+        books = train_pq(xr, m=m, ksub=ksub,
+                         iters=max(4, iters // 2), seed=seed)
+        y = reconstruct_pq(encode_pq(xr, books), books)
+        # orthogonal R maximizing trace(R^T X^T Y): R = U V^T
+        u, _, vt = np.linalg.svd(
+            x.T.astype(np.float64) @ y.astype(np.float64))
+        rot = (u @ vt).astype(np.float32)
+    books = train_pq(x @ rot, m=m, ksub=ksub, iters=iters, seed=seed)
+    return rot, books

@@ -571,6 +571,7 @@ class PqBeamEngine:
         codebooks=None,           # [m,ksub,dsub] | (books_c, books_f)
         codes: Optional[np.ndarray] = None,
         coarse_m: int = 0,        # >0: residual (two-level) ADC mode
+        rotation: Optional[np.ndarray] = None,  # [D, D] OPQ rotation
     ):
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.n, self.d = vectors.shape
@@ -603,6 +604,19 @@ class PqBeamEngine:
             reconstruct_residual_pq, train_residual_pq,
         )
 
+        # OPQ (ops/pq.train_opq): train/encode in the rotated frame;
+        # the rotation folds into lut_w below and |x_hat|^2 is
+        # rotation-invariant, so records, kernel, and the exact-rescore
+        # corpus (original frame) are all unchanged. `codebooks`/`codes`
+        # caches passed alongside a rotation must be rotated-frame.
+        self.rotation = None
+        enc_vectors = vectors
+        if rotation is not None:
+            self.rotation = np.ascontiguousarray(rotation, np.float32)
+            if self.rotation.shape != (self.d, self.d):
+                raise ValueError("rotation must be [D, D]")
+            enc_vectors = vectors @ self.rotation
+
         if coarse_m:
             # residual (two-level) mode: coarse-PQ + fine residual PQ
             # + (l2) quantized exact |x_hat|^2 as two affine-LUT
@@ -611,7 +625,7 @@ class PqBeamEngine:
             if ksub != 256:
                 raise ValueError("residual mode requires ksub=256")
             if codebooks is None:
-                samp = vectors[rng.choice(
+                samp = enc_vectors[rng.choice(
                     self.n, min(train_sample, self.n), replace=False)]
                 codebooks = train_residual_pq(
                     samp, mc=coarse_m, mf=m, ksub=ksub,
@@ -621,7 +635,8 @@ class PqBeamEngine:
             books_f = np.asarray(books_f, np.float32)
             self.codebooks = (books_c, books_f)
             if codes is None:
-                codes, nsq = encode_residual_pq(vectors, books_c, books_f)
+                codes, nsq = encode_residual_pq(
+                    enc_vectors, books_c, books_f)
             else:
                 codes = np.asarray(codes, np.uint8)
                 xh = reconstruct_residual_pq(codes, books_c, books_f)
@@ -643,13 +658,13 @@ class PqBeamEngine:
                 self.norm_offset, self.norm_scale)
         else:
             if codebooks is None:
-                samp = vectors[rng.choice(
+                samp = enc_vectors[rng.choice(
                     self.n, min(train_sample, self.n), replace=False)]
                 codebooks = train_pq(
                     samp, m=m, ksub=ksub, iters=kmeans_iters, seed=seed)
             self.codebooks = np.asarray(codebooks, np.float32)
             if codes is None:
-                codes = encode_pq(vectors, self.codebooks)
+                codes = encode_pq(enc_vectors, self.codebooks)
             self.codes = np.asarray(codes, np.uint8)
             codes_full = self.codes
             self.mt = m
@@ -660,8 +675,13 @@ class PqBeamEngine:
             [codes_full, np.zeros((1, self.mt), np.uint8)], axis=0)
         self.records = pack_pq_records(
             jnp.asarray(adj), jnp.asarray(codes1), self.bits)
-        # affine LUT operands: luts = q @ W^T + B (see ops/pq.adc_affine)
-        self.lut_w = jnp.asarray(lut_w.reshape(self.mt * ksub, self.d))
+        # affine LUT operands: luts = q @ W^T + B (see ops/pq.adc_affine);
+        # with OPQ, luts = (q rot) W^T + B = q (W rot^T)^T + B — fold
+        # the rotation into W so queries enter the jit unrotated
+        lut_w2 = lut_w.reshape(self.mt * ksub, self.d)
+        if self.rotation is not None:
+            lut_w2 = lut_w2 @ self.rotation.T
+        self.lut_w = jnp.asarray(lut_w2)
         self.lut_b = jnp.asarray(lut_b.reshape(self.mt * ksub))
 
         # exact-rescore corpus (+ sentinel zero row). bf16/int8 cast on
@@ -720,6 +740,11 @@ class PqBeamEngine:
             seed_hat = reconstruct_pq(self.codes[sid], self.codebooks)
             seed_nsq = (seed_hat.astype(np.float64) ** 2).sum(1).astype(
                 np.float32)
+        if self.rotation is not None:
+            # decode back to the original frame: seed ADC scores are
+            # <q, x_hat rot^T> = <q rot, x_hat> = the kernel's ADC sum
+            # (norms are rotation-invariant)
+            seed_hat = seed_hat @ self.rotation.T
         self.seed_vecs_hat = jnp.asarray(seed_hat.astype(np.float32)).astype(
             jnp.bfloat16)
         self.seed_hat_nsq = jnp.asarray(seed_nsq)

@@ -31,20 +31,32 @@ def save_pq(
     codes: np.ndarray,    # [N, m] uint8
     n: int,
     metric: str,
+    rot: Optional[np.ndarray] = None,  # [D, D] OPQ rotation (codes are
+                                       # rotated-frame when present)
 ) -> None:
+    extra = {}
+    if rot is not None:
+        extra["rot"] = np.asarray(rot, np.float32)
     np.savez_compressed(
         pq_path(base),
         books=np.asarray(books, np.float32),
         codes=np.asarray(codes, np.uint8),
         n=np.int64(n),
         metric=np.str_(metric),
+        **extra,
     )
 
 
 def load_pq(
-    base: str, n: int, metric: str
-) -> Optional[Tuple[np.ndarray, np.ndarray]]:
-    """Returns (books, codes) or None when absent/stale."""
+    base: str, n: int, metric: str, want_rot: bool = False
+) -> Optional[Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]]:
+    """Returns (books, codes, rot-or-None) or None when absent/stale.
+
+    A cache whose rotated-ness disagrees with `want_rot` is stale: the
+    codes live in a different frame than the engine is about to build
+    its LUTs for, so reusing them would silently corrupt every ADC
+    score.
+    """
     path = pq_path(base)
     if not os.path.exists(path):
         return None
@@ -52,7 +64,10 @@ def load_pq(
         z = np.load(path)
         if int(z["n"]) != n or str(z["metric"]) != metric:
             return None
-        return z["books"], z["codes"]
+        rot = z["rot"] if "rot" in z.files else None
+        if want_rot != (rot is not None):
+            return None
+        return z["books"], z["codes"], rot
     except Exception:
         return None
 

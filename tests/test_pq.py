@@ -67,3 +67,54 @@ def test_pq_navigation_floor_on_clustered_corpus():
     assert r40 >= 0.5, r40
     # a visited-set-sized pool must contain nearly all true neighbors
     assert r200 >= 0.9, r200
+
+
+def _aniso_corpus(n=6000, d=64, seed=3, k_intrinsic=8):
+    """Energy concentrated in a random k-dim subspace — the regime OPQ
+    exists for (correlated dims that naive subspace slicing splits)."""
+    rng = np.random.default_rng(seed)
+    basis, _ = np.linalg.qr(rng.standard_normal((d, k_intrinsic)))
+    lat = rng.standard_normal((n, k_intrinsic)).astype(np.float32) * 3.0
+    amb = rng.standard_normal((n, d)).astype(np.float32) * 0.1
+    return (lat @ basis.T.astype(np.float32) + amb).astype(np.float32)
+
+
+def test_opq_rotation_is_orthogonal():
+    from leann_tpu.ops.pq import train_opq
+
+    x = _aniso_corpus()
+    rot, books = train_opq(x, m=8, ksub=64, iters=6, opq_iters=4)
+    d = x.shape[1]
+    np.testing.assert_allclose(rot @ rot.T, np.eye(d), atol=1e-4)
+    assert books.shape == (8, 64, d // 8)
+
+
+def test_opq_beats_plain_pq_on_anisotropic_data():
+    from leann_tpu.ops.pq import train_opq
+
+    x = _aniso_corpus()
+    books_p = train_pq(x, m=8, ksub=64, iters=8)
+    xp = reconstruct_pq(encode_pq(x, books_p), books_p)
+    rot, books_o = train_opq(x, m=8, ksub=64, iters=8, opq_iters=6)
+    xo = reconstruct_pq(encode_pq(x @ rot, books_o), books_o) @ rot.T
+    err_p = np.linalg.norm(x - xp) / np.linalg.norm(x)
+    err_o = np.linalg.norm(x - xo) / np.linalg.norm(x)
+    # the subspace slicing splits the correlated energy across all 8
+    # codebooks; the learned rotation re-concentrates it
+    assert err_o < err_p * 0.8, (err_o, err_p)
+
+
+def test_opq_lut_fold_identity():
+    """LUT on rotated queries == rotation-folded LUT on raw queries —
+    the exact algebra PqBeamEngine relies on."""
+    from leann_tpu.ops.pq import adc_affine, train_opq
+
+    x = _aniso_corpus(n=3000)
+    d = x.shape[1]
+    rot, books = train_opq(x, m=8, ksub=64, iters=6, opq_iters=3)
+    w, b = adc_affine(d, "l2", None, books, 64)
+    w2 = w.reshape(-1, d)
+    q = np.random.default_rng(9).standard_normal((4, d)).astype(np.float32)
+    luts_rotated_q = (q @ rot) @ w2.T + b.reshape(-1)[None, :]
+    luts_folded_w = q @ (w2 @ rot.T).T + b.reshape(-1)[None, :]
+    np.testing.assert_allclose(luts_rotated_q, luts_folded_w, atol=1e-3)

@@ -211,6 +211,48 @@ def test_graph_searcher_pq_engine_and_sidecar(tmp_path, monkeypatch):
     assert not os.path.exists(pqfile.pq_path(base))
 
 
+def test_graph_searcher_opq_knob_and_sidecar_frames(tmp_path, monkeypatch):
+    """LEANN_PQ_OPQ=1 routes through train_opq, persists the rotation
+    in the sidecar, and a cache written in one frame is stale for the
+    other (rotated-frame codes must never feed unrotated LUTs)."""
+    import os
+
+    from leann_tpu.backend import load_searcher
+    from leann_tpu.index.builder import IndexBuilder
+    from leann_tpu.store import pqfile
+    from leann_tpu.store.meta import IndexMeta, meta_path
+
+    monkeypatch.setenv("LEANN_GRAPH_ENGINE", "pq")
+    monkeypatch.setenv("LEANN_PQ_OPQ", "1")
+    base = str(tmp_path / "documents.leann")
+    rng = np.random.default_rng(17)
+    n, d = 300, 32
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    builder = IndexBuilder(base, dim=d, backend="vamana")
+    for i in range(n):
+        builder.add(f"p{i}", f"passage {i}", vecs[i], {"n": i})
+    builder.build()
+    meta = IndexMeta.load(meta_path(base))
+
+    s1 = load_searcher(base, meta)
+    assert s1.engine.rotation is not None
+    idx, _ = s1.search(vecs[5:6], k=3, complexity=32)
+    assert 5 in idx[0]
+    z = np.load(pqfile.pq_path(base))
+    assert "rot" in z.files
+
+    # the rotated-frame cache is STALE for a non-OPQ engine...
+    assert pqfile.load_pq(base, n, meta.metric, want_rot=False) is None
+    # ...and valid for the OPQ engine
+    art = pqfile.load_pq(base, n, meta.metric, want_rot=True)
+    assert art is not None and art[2] is not None
+
+    # reload reuses it (search results identical, no retrain)
+    s2 = load_searcher(base, meta)
+    idx2, _ = s2.search(vecs[5:6], k=3, complexity=32)
+    np.testing.assert_array_equal(idx, idx2)
+
+
 def test_pq_search_many_device_matches_single_interpret():
     import jax.numpy as jnp
 
@@ -362,4 +404,40 @@ def test_pq_engine_residual_interpret(metric):
         want = 2 * float(q[0] @ vecs[i0]) - float(vecs[i0] @ vecs[i0])
     else:
         want = float(q[0] @ vecs[i0])
+    np.testing.assert_allclose(sc[0, 0], want, rtol=1e-4)
+
+
+def test_pq_engine_opq_rotation_interpret():
+    """OPQ end-to-end: rotated-frame codes, rotation folded into the
+    affine LUT, UNCHANGED kernel, exact rescore in the original frame."""
+    from leann_tpu.ops.pq import train_opq
+
+    rng = np.random.default_rng(11)
+    n, d, r = 1200, 64, 32
+    basis, _ = np.linalg.qr(rng.standard_normal((d, 12)))
+    centers = 4.0 * rng.standard_normal((24, 12)).astype(np.float32)
+    lat = (centers[rng.integers(0, 24, n)]
+           + rng.standard_normal((n, 12)).astype(np.float32))
+    vecs = (lat @ basis.T.astype(np.float32)
+            + 0.05 * rng.standard_normal((n, d)).astype(np.float32))
+    vecs = np.ascontiguousarray(vecs, np.float32)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=48, metric="l2", wave_size=512)
+    rot, books = train_opq(vecs, m=8, ksub=256, iters=8, opq_iters=4)
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric="l2", m=8, ksub=256, qb=8,
+        ring_size=256, visited_pool=128, interpret=True,
+        codebooks=books, rotation=rot,
+    )
+    q = vecs[rng.integers(0, n, 8)] + 0.02 * rng.standard_normal(
+        (8, d)).astype(np.float32)
+    idx, sc = eng.search(q, k=10, beam_width=32)
+    _, oracle = exact_topk(q, vecs, 10, metric="l2")
+    recall = np.mean([
+        len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(8)
+    ])
+    assert recall >= 0.8, recall
+    i0 = idx[0, 0]
+    want = 2 * float(q[0] @ vecs[i0]) - float(vecs[i0] @ vecs[i0])
     np.testing.assert_allclose(sc[0, 0], want, rtol=1e-4)
