@@ -66,13 +66,15 @@ def main():
                          "positive regime, RESULTS_r3 section 2)")
     ap.add_argument("--lowdim-k", type=int, default=16)
     ap.add_argument("--opq", action="store_true",
-                    help="learn an OPQ rotation (single-level mode "
-                         "only); folded into the LUT, zero serving cost")
+                    help="learn an OPQ rotation; folded into the LUT, "
+                         "zero serving cost. Composes with --coarse "
+                         "(rotation learned on the single-level "
+                         "objective, residual books trained in the "
+                         "rotated frame — the best 16B/node variant on "
+                         "low-intrinsic-dim corpora, RESULTS_r3 sec 2)")
     ap.add_argument("--interpret", action="store_true",
                     help="force Pallas interpret mode (auto on CPU)")
     args = ap.parse_args()
-    if args.opq and args.coarse:
-        ap.error("--opq is single-level only (no --coarse)")
 
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -154,7 +156,13 @@ def main():
         t0 = time.time()
         samp = corpus[np.random.default_rng(1).choice(
             n, min(n, 262_144), replace=False)]
+        # rotation learned on the single-level objective (m fine
+        # subspaces — any m dividing d gives near-identical rotations);
+        # in coarse (residual) mode the engine then trains the residual
+        # books on the rotated sample itself (books stays None)
         rot, books = train_opq(samp, m=args.m, ksub=args.ksub)
+        if args.coarse:
+            books = None
         log(f"opq trained in {time.time()-t0:.0f}s")
 
     interpret = args.interpret or jax.default_backend() == "cpu"
@@ -169,17 +177,15 @@ def main():
         rotation=rot, interpret=interpret,
     )
     if codes is None:
+        extra = {"rot": eng.rotation} if args.opq else {}
         if args.coarse:
             np.savez_compressed(
                 pc, books_c=eng.codebooks[0], books_f=eng.codebooks[1],
-                codes=np.asarray(eng.codes))
-        elif args.opq:
-            np.savez_compressed(
-                pc, books=eng.codebooks, codes=np.asarray(eng.codes),
-                rot=eng.rotation)
+                codes=np.asarray(eng.codes), **extra)
         else:
             np.savez_compressed(
-                pc, books=eng.codebooks, codes=np.asarray(eng.codes))
+                pc, books=eng.codebooks, codes=np.asarray(eng.codes),
+                **extra)
     log(f"engine up in {time.time()-t0:.0f}s")
 
     t0 = time.time()

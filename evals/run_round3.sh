@@ -45,6 +45,11 @@ run config0 3600 python evals/run_eval.py --configs 0 --scale 1.0
 run sharded_fused 3600 \
   python evals/sharded_device_check.py --n 1000000 --d 128
 
+# 4b. sharded PQ engine (Mosaic PQ kernel in shard_map on hardware;
+# single shard == the per-shard DEEP-100M-footprint program)
+run sharded_pq 3600 \
+  python evals/sharded_device_check.py --n 1000000 --d 128 --engine pq
+
 # 2a. PQ fused engine at 1M x 128 (first-hardware shakeout of the PQ
 # kernel; recall at 1M measured by sim first — see RESULTS_r3 2.;
 # single-level collapses at 1M too: 0.23 @ beam 96, /tmp/pqsim1m.log)
@@ -65,6 +70,13 @@ run pq_1m_res 5400 \
 run pq_lowdim_1m 10800 \
   python evals/pq_device_check.py --n 1000000 --d 96 --m 16 --ksub 256 \
     --corpus lowdim --opq --rescore bf16
+
+# 2a''': rotation + residual composed — the best 16B/node variant on
+# the lowdim corpus (sim: 0.977/0.996 vs 0.970/0.995 OPQ alone).
+# Reuses the lowdim graph the step above built.
+run pq_lowdim_1m_resopq 7200 \
+  python evals/pq_device_check.py --n 1000000 --d 96 --m 12 --coarse 2 \
+    --ksub 256 --corpus lowdim --opq --rescore bf16
 
 # 2b. XLA row-gather at 10M single-pass graph (the round-2 serving
 # path; the refined-graph row below is the flagship)

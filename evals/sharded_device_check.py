@@ -37,6 +37,11 @@ def main():
     ap.add_argument("--beam", type=int, default=64)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--recall-q", type=int, default=1024)
+    ap.add_argument("--engine", default="fused",
+                    choices=["fused", "pq", "xla"],
+                    help="per-shard traversal engine (pq = global "
+                         "codebook + per-shard 16B/node records, the "
+                         "DEEP-100M-class footprint)")
     ap.add_argument("--interpret", action="store_true",
                     help="force Pallas interpret mode (auto on CPU)")
     args = ap.parse_args()
@@ -88,7 +93,7 @@ def main():
     t0 = time.time()
     idx = ShardedGraphIndex(
         corpus, mesh, metric="l2", graph_degree=args.r,
-        adjacency_shards=adj_shards, medoids=meds, engine="fused",
+        adjacency_shards=adj_shards, medoids=meds, engine=args.engine,
         interpret=interpret)
     log(f"sharded index up in {time.time()-t0:.0f}s "
         f"(shards={n_shards}, engine={idx.engine})")
@@ -115,7 +120,7 @@ def main():
         times.append(time.perf_counter() - t0)
     ms = 1e3 * np.array(times)
     print(json.dumps({
-        "probe": "sharded-fused-real-chip",
+        "probe": f"sharded-{args.engine}-real-chip",
         "n": n, "d": d, "shards": n_shards, "engine": idx.engine,
         "beam": args.beam, "recall_at_10": round(recall, 4),
         "wall_ms_per_batch_mean": round(float(ms.mean()), 1),

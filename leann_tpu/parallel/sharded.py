@@ -127,10 +127,13 @@ class ShardedGraphIndex:
     Engine selection mirrors GraphSearcher (backend/__init__.py): on a
     real TPU with kernel-compatible shapes each shard traverses with the
     fused whole-traversal Pallas kernel (per-shard int8 inline blocks in
-    local HBM, ~5-6x the XLA hop-loop's throughput); otherwise — CPU
-    dryrun mesh, D % 128 != 0, or blocks beyond the per-chip HBM
-    budget — the XLA inline-block path serves. Override with
-    `engine="fused"|"xla"` or LEANN_GRAPH_ENGINE."""
+    local HBM, ~5-6x the XLA hop-loop's throughput); when the inline
+    blocks exceed the per-chip HBM budget but PQ records fit, each shard
+    traverses with the PQ fused kernel (one global codebook, replicated
+    affine-LUT operands, per-shard 16B/node records + exact local
+    rescore — the DEEP-100M-class footprint); otherwise — CPU dryrun
+    mesh, incompatible shapes — the XLA inline-block path serves.
+    Override with `engine="fused"|"pq"|"xla"` or LEANN_GRAPH_ENGINE."""
 
     def __init__(
         self,
@@ -147,6 +150,7 @@ class ShardedGraphIndex:
         qb: int = 16,
         interpret: bool = False,
         seed: int = 0,
+        rotation: Optional[np.ndarray] = None,  # [D, D] OPQ (pq engine)
     ):
         from leann_tpu.ops.vamana import build_vamana
 
@@ -203,19 +207,34 @@ class ShardedGraphIndex:
         choice = engine
         if choice == "auto":
             choice = os.environ.get("LEANN_GRAPH_ENGINE", "auto")
+        use_pq = False
         if choice == "auto":
             from leann_tpu.ops.pallas_kernels import pallas_available
 
             # same HBM policy as GraphSearcher, per chip: one shard's
-            # int8 inline blocks are (rows+1)*R*D bytes of local HBM
+            # int8 inline blocks are (rows+1)*R*D bytes of local HBM;
+            # beyond that the PQ records ((rows+1)*cp*512 bytes) keep
+            # the fused kernel serving (the DEEP-100M-class footprint:
+            # 16B codes/node instead of R*D inline bytes)
             blocks_gb = (self.rows + 1) * r * self.d / 1e9
             use_fused = (
                 pallas_available() and self.d % 128 == 0 and r <= 128
                 and blocks_gb < 9.0
             )
+            if not use_fused and pallas_available() and r <= 128:
+                m = next((mm for mm in (16, 12, 8) if self.d % mm == 0), 0)
+                if m and r % 4 == 0:
+                    from leann_tpu.ops.pq_beam import pq_layout
+
+                    _, _, _, cp = pq_layout(r, m, 8)
+                    pq_gb = ((self.rows + 1) * cp * 512
+                             + self.rows * self.d * 4) / 1e9
+                    use_pq = pq_gb < 13.0
         else:
             use_fused = choice in ("fused", "inline")
-        self.engine = "fused" if use_fused else "xla"
+            use_pq = choice == "pq"
+        self.engine = ("fused" if use_fused
+                       else "pq" if use_pq else "xla")
         self.qb = qb
         self.interpret = interpret
         if use_fused:
@@ -252,6 +271,79 @@ class ShardedGraphIndex:
                 sid, NamedSharding(mesh, P("shard", None)))
             self.seed_vecs_stack = jax.device_put(
                 jnp.asarray(svec).astype(jnp.bfloat16), shard3)
+        elif use_pq:
+            # ONE global codebook trained on a cross-shard sample (so
+            # the affine LUT operands replicate instead of sharding —
+            # the per-query LUT matmul is identical on every chip);
+            # per-shard codes + inline records live in local HBM. With
+            # `rotation` (OPQ), codes are rotated-frame and the
+            # rotation folds into lut_w (see ops/pq_beam.PqBeamEngine).
+            from leann_tpu.ops.pq import (
+                adc_affine, encode_pq, reconstruct_pq, train_pq)
+            from leann_tpu.ops.pq_beam import pack_pq_records
+
+            rng = np.random.default_rng(seed)
+            self.pq_m = next(
+                (mm for mm in (16, 12, 8) if self.d % mm == 0), 0)
+            if not self.pq_m or r % 4 != 0:
+                raise ValueError(
+                    f"pq engine needs d divisible by 16/12/8 and "
+                    f"R % 4 == 0 (d={self.d}, R={r})")
+            self.pq_ksub = 256
+            enc_stack = vec_stack
+            self.rotation = None
+            if rotation is not None:
+                self.rotation = np.ascontiguousarray(rotation, np.float32)
+                enc_stack = vec_stack @ self.rotation
+            gids = rng.choice(
+                self.n, size=min(262_144, self.n), replace=False)
+            books = train_pq(
+                enc_stack[gids // self.rows, gids % self.rows],
+                m=self.pq_m, ksub=self.pq_ksub, iters=10, seed=seed)
+            self.pq_books = books
+            rec_l, sid_l, shat_l, snsq_l = [], [], [], []
+            from leann_tpu.ops.beam import seed_pool_size
+
+            pool = seed_pool_size(self.rows)
+            for s in range(self.n_shards):
+                codes = encode_pq(enc_stack[s], books)
+                codes[self.rows] = 0          # sentinel row
+                rec = pack_pq_records(
+                    jnp.asarray(adj_stack[s]), jnp.asarray(codes), 8)
+                rec_l.append(np.asarray(rec))
+                valid = min(self.rows, max(1, self.n - s * self.rows))
+                picks = rng.choice(valid, size=min(pool, valid),
+                                   replace=False).astype(np.int32)
+                picks[0] = med[s]
+                picks = np.resize(picks, pool)
+                sid_l.append(picks)
+                # seeds score via their RECONSTRUCTIONS so entry scores
+                # are ADC-comparable with the kernel's beam scores
+                shat = reconstruct_pq(codes[picks], books)
+                snsq_l.append(np.einsum(
+                    "pd,pd->p", shat, shat,
+                    dtype=np.float64).astype(np.float32))
+                if self.rotation is not None:
+                    shat = shat @ self.rotation.T
+                shat_l.append(shat)
+            shard4 = NamedSharding(mesh, P("shard", None, None, None))
+            self.records_stack = jax.device_put(np.stack(rec_l), shard4)
+            lut_w, lut_b = adc_affine(
+                self.d, self.metric, None, books, self.pq_ksub)
+            lut_w = lut_w.reshape(self.pq_m * self.pq_ksub, self.d)
+            if self.rotation is not None:
+                lut_w = lut_w @ self.rotation.T
+            # replicated (tiny): every shard computes the same LUTs
+            self.lut_w = jnp.asarray(lut_w)
+            self.lut_b = jnp.asarray(
+                lut_b.reshape(self.pq_m * self.pq_ksub))
+            self.seed_ids_stack = jax.device_put(
+                np.stack(sid_l), NamedSharding(mesh, P("shard", None)))
+            self.seed_vecs_stack = jax.device_put(
+                jnp.asarray(np.stack(shat_l)).astype(jnp.bfloat16),
+                shard3)
+            self.seed_nsq_stack = jax.device_put(
+                np.stack(snsq_l), NamedSharding(mesh, P("shard", None)))
 
     def search(
         self, queries: np.ndarray, k: int = 10, beam_width: int = 64
@@ -263,7 +355,7 @@ class ShardedGraphIndex:
             q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
         dp = self.mesh.shape.get("dp", 1)
         b = q.shape[0]
-        quant = dp * (self.qb if self.engine == "fused" else 1)
+        quant = dp * (self.qb if self.engine in ("fused", "pq") else 1)
         b_pad = -(-b // quant) * quant
         q = _pad_rows(q, b_pad)
         k_eff = min(k, self.rows)
@@ -275,6 +367,16 @@ class ShardedGraphIndex:
                 k_eff, beam_width, self.metric, self.mesh,
                 self.rows, self.n, self.adjacency_shards.shape[2],
                 self.qb, self.interpret,
+            )
+        elif self.engine == "pq":
+            scores, idx = _sharded_pq_topk(
+                jnp.asarray(q), self.vec_stack, self.sq_stack,
+                self.records_stack, self.lut_w, self.lut_b,
+                self.seed_ids_stack, self.seed_vecs_stack,
+                self.seed_nsq_stack,
+                k_eff, beam_width, self.metric, self.mesh,
+                self.rows, self.n, self.adjacency_shards.shape[2],
+                self.pq_m, self.pq_ksub, self.qb, self.interpret,
             )
         else:
             scores, idx = _sharded_beam_topk(
@@ -428,6 +530,114 @@ def _sharded_fused_topk(
     )
     return fn(queries, vec_stack, sq_stack, blocks_stack, meta_stack,
               seed_ids_stack, seed_vecs_stack)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "beam_width", "metric", "mesh", "rows", "valid_n", "r",
+        "m", "ksub", "qb", "interpret",
+    ),
+)
+def _sharded_pq_topk(
+    queries, vec_stack, sq_stack, records_stack, lut_w, lut_b,
+    seed_ids_stack, seed_vecs_stack, seed_nsq_stack,
+    k, beam_width, metric, mesh, rows, valid_n, r, m, ksub, qb,
+    interpret,
+):
+    """Per-shard PQ fused traversal + exact local rescore + ICI
+    all_gather merge. The shard body mirrors the single-chip
+    _pq_search_jit pipeline (ops/pq_beam.py) on local arrays; the LUT
+    operands are replicated (one global codebook), the records and the
+    rescore corpus are shard-local. The PQ record footprint
+    ((rows+1)*cp*512 bytes/chip) is what lets the fused traversal serve
+    corpora whose int8 inline blocks exceed one chip's HBM."""
+    from leann_tpu.ops.pq_beam import pq_beam_search
+
+    visited_pool = 256
+
+    def local_fn(q, v, sq, records, lut_w, lut_b, sids, svecs_hat, snsq):
+        q = q.reshape(q.shape[-2], q.shape[-1])
+        v = v.reshape(-1, v.shape[-1])            # [rows+1, D]
+        sq = sq.reshape(-1)
+        records = records.reshape(records.shape[-3:])
+        sids = sids.reshape(-1)
+        svecs_hat = svecs_hat.reshape(-1, svecs_hat.shape[-1])
+        snsq = snsq.reshape(-1)
+        b = q.shape[0]
+
+        luts = jnp.dot(
+            q, lut_w.T, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + lut_b[None, :]
+        # entry scores via seed reconstructions: ADC-comparable with
+        # the kernel's beam scores (exact seed scores would not be)
+        sd = jnp.einsum(
+            "pd,bd->bp", svecs_hat, q.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32)
+        if metric == "l2":
+            sd = 2.0 * sd - snsq[None, :]
+        s_eff = min(16, sids.shape[0])
+        entry_sc, best = jax.lax.top_k(sd, s_eff)
+        entry = sids[best]
+        exclude = jnp.full((b,), -1, jnp.int32)
+        beam_ids, _, vlog = pq_beam_search(
+            luts, records, entry, entry_sc, exclude,
+            r=r, m=m, ksub=ksub, bits=8, beam_width=beam_width,
+            max_iters=(4 * beam_width) // 2 + 32, expansions=2, qb=qb,
+            ring_size=1024, track_visited=visited_pool,
+            interpret=interpret,
+        )
+        cand = jnp.concatenate([beam_ids, vlog], axis=1)
+        cand = jnp.sort(cand, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((cand.shape[0], 1), bool),
+             cand[:, 1:] == cand[:, :-1]], axis=1)
+        cand = jnp.where(dup, rows, cand)
+        # exact f32 rescore against the local corpus block
+        rows_v = v[cand]                          # [b, C, D]
+        dots = jnp.einsum(
+            "bcd,bd->bc", rows_v, q, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        scores = 2.0 * dots - sq[cand] if metric == "l2" else dots
+        scores = jnp.where(cand == rows, NEG_INF, scores)
+        local_scores, pos = jax.lax.top_k(scores, k)
+        local_ids = jnp.take_along_axis(cand, pos, axis=1)
+
+        shard_id = jax.lax.axis_index("shard")
+        base = shard_id * rows
+        global_ids = jnp.where(local_ids == rows, valid_n, local_ids + base)
+        local_scores = jnp.where(
+            global_ids >= valid_n, NEG_INF, local_scores)
+        all_scores = jax.lax.all_gather(local_scores, "shard", axis=1)
+        all_idx = jax.lax.all_gather(global_ids, "shard", axis=1)
+        all_scores = all_scores.reshape(b, -1)
+        all_idx = all_idx.reshape(b, -1)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),
+            P("shard", None, None),
+            P("shard", None),
+            P("shard", None, None, None),
+            P(None, None),     # lut_w: replicated (one global codebook)
+            P(None),           # lut_b
+            P("shard", None),
+            P("shard", None, None),
+            P("shard", None),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(queries, vec_stack, sq_stack, records_stack, lut_w, lut_b,
+              seed_ids_stack, seed_vecs_stack, seed_nsq_stack)
 
 
 class ShardedIvfIndex:

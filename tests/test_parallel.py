@@ -109,6 +109,57 @@ def test_sharded_graph_fused_engine_interpret():
     assert (np.diff(scores, axis=1) <= 1e-4).all()
 
 
+def test_sharded_graph_pq_engine_interpret():
+    """Per-shard PQ fused traversal under shard_map (interpret mode):
+    one global codebook (replicated LUT operands), per-shard records,
+    exact local rescore + ICI merge — the DEEP-100M-class footprint
+    (16B codes/node instead of R*D inline bytes per chip)."""
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal((512, 128)) * 0.5).astype(np.float32)
+    index = ShardedGraphIndex(
+        x, mesh, metric="l2", graph_degree=12, complexity=24,
+        build_wave_size=128, engine="pq", qb=8, interpret=True,
+    )
+    assert index.engine == "pq"
+    q = x[rng.integers(0, 512, 8)] + 0.01 * rng.standard_normal(
+        (8, 128)).astype(np.float32)
+    idx, scores = index.search(q, k=5, beam_width=16)
+    assert idx.shape == (8, 5)
+    _, oracle = exact_topk(q, x, 5, metric="l2")
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(idx, oracle)
+    ])
+    assert rec >= 0.9, f"sharded pq recall {rec}"
+    assert (idx < 512).all() and (idx >= 0).all()
+    assert (np.diff(scores, axis=1) <= 1e-4).all()
+
+
+def test_sharded_graph_pq_engine_rotation_interpret():
+    """OPQ rotation in the sharded PQ engine: rotated-frame codes,
+    rotation folded into the replicated LUT, rescore unchanged. Any
+    orthogonal rotation is algebraically valid — use a random one."""
+    mesh = make_mesh((1, 2), devices=jax.devices()[:2])
+    rng = np.random.default_rng(13)
+    x = (rng.standard_normal((400, 64)) * 0.5).astype(np.float32)
+    rot, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    index = ShardedGraphIndex(
+        x, mesh, metric="l2", graph_degree=12, complexity=24,
+        build_wave_size=128, engine="pq", qb=8, interpret=True,
+        rotation=rot.astype(np.float32),
+    )
+    q = x[rng.integers(0, 400, 8)] + 0.01 * rng.standard_normal(
+        (8, 64)).astype(np.float32)
+    idx, scores = index.search(q, k=5, beam_width=16)
+    _, oracle = exact_topk(q, x, 5, metric="l2")
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 5
+        for a, b in zip(idx, oracle)
+    ])
+    assert rec >= 0.9, f"sharded pq+rot recall {rec}"
+
+
 def test_sharded_graph_auto_engine_is_xla_on_cpu():
     """pallas_available() is False on the CPU mesh, so auto selection
     must fall back to the XLA hop loop (keeps the dryrun green)."""

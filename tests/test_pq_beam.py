@@ -211,6 +211,43 @@ def test_graph_searcher_pq_engine_and_sidecar(tmp_path, monkeypatch):
     assert not os.path.exists(pqfile.pq_path(base))
 
 
+def test_pq_engine_opq_residual_combined_interpret():
+    """Rotation + residual (coarse-PQ) composed: codes in the rotated
+    frame, residual books trained on rotated data, rotation folded into
+    the affine LUT — the best measured 16B/node variant (RESULTS_r3)."""
+    from leann_tpu.ops.pq import train_opq
+
+    rng = np.random.default_rng(23)
+    n, d, r = 1200, 96, 32
+    basis, _ = np.linalg.qr(rng.standard_normal((d, 12)))
+    centers = 4.0 * rng.standard_normal((24, 12)).astype(np.float32)
+    lat = (centers[rng.integers(0, 24, n)]
+           + rng.standard_normal((n, 12)).astype(np.float32))
+    vecs = (lat @ basis.T.astype(np.float32)
+            + 0.05 * rng.standard_normal((n, d)).astype(np.float32))
+    vecs = np.ascontiguousarray(vecs, np.float32)
+    adj, medoid = build_vamana(
+        vecs, graph_degree=r, complexity=48, metric="l2", wave_size=512)
+    rot, _ = train_opq(vecs, m=8, ksub=64, iters=6, opq_iters=3)
+    eng = PqBeamEngine(
+        vecs, adj, medoid, metric="l2", m=12, ksub=256, qb=8,
+        ring_size=256, visited_pool=128, interpret=True,
+        coarse_m=2, rotation=rot,
+    )
+    q = vecs[rng.integers(0, n, 8)] + 0.02 * rng.standard_normal(
+        (8, d)).astype(np.float32)
+    idx, sc = eng.search(q, k=10, beam_width=32)
+    _, oracle = exact_topk(q, vecs, 10, metric="l2")
+    recall = np.mean([
+        len(set(idx[i].tolist()) & set(oracle[i].tolist())) / 10
+        for i in range(8)
+    ])
+    assert recall >= 0.8, recall
+    i0 = idx[0, 0]
+    want = 2 * float(q[0] @ vecs[i0]) - float(vecs[i0] @ vecs[i0])
+    np.testing.assert_allclose(sc[0, 0], want, rtol=1e-4)
+
+
 def test_graph_searcher_opq_knob_and_sidecar_frames(tmp_path, monkeypatch):
     """LEANN_PQ_OPQ=1 routes through train_opq, persists the rotation
     in the sidecar, and a cache written in one frame is stale for the
