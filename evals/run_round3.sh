@@ -138,6 +138,12 @@ run pq_10m_res 10800 \
   python evals/pq_device_check.py --n 10000000 --d 96 --m 12 --coarse 2 \
     --ksub 256 --rescore bf16
 
+# 2f. IVF-PQ (ADC-compressed buckets + int8 rescore — the 100M-class
+# one-chip footprint, ops/ivf_pq.py) at the DEEP-10M shape; the bf16
+# IVF row above is its direct baseline on the same corpus/k-means.
+run ivfpq_10m 7200 \
+  python evals/ivfpq_device_check.py --n 10000000 --d 96 --nprobe 16
+
 # 8. hardness sweep at 200k (all 9 configs, ivf + graph)
 run hardness 10800 python evals/hardness_sweep.py --n 200000 --d 128
 

@@ -16,6 +16,7 @@ the reference's one-query-at-a-time `BackendSearcher::search`
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -197,18 +198,42 @@ class IvfSearcher:
 
     def __init__(self, vectors: np.ndarray, ivf, metric: str = "ip",
                  default_nprobe: Optional[int] = None):
-        from leann_tpu.ops.ivf import IvfEngine
-
         self.metric = metric
         # build-time calibrated floor (meta.backend_kwargs["nprobe"]):
         # fixed nprobe is distribution-dependent (hardness sweep), so a
         # calibrated corpus keeps its measured >= 0.95 operating point
         # even when callers pass the default complexity
         self.default_nprobe = default_nprobe
-        self.engine = IvfEngine(
-            vectors, metric=metric,
-            centers=ivf.centers, assign=ivf.assign,
-        )
+        n, d = vectors.shape
+        choice = os.environ.get("LEANN_IVF_ENGINE", "auto")
+        # ADC-compressed buckets (ops/ivf_pq.py) when the bf16 scan
+        # tables + f32 rescore corpus would blow the one-chip HBM
+        # budget (~100M-class corpora): 1B codes/dim + int8 rescore
+        # instead of 2B/dim + 4B/dim. The bf16 engine stays the default
+        # wherever it fits — it rescores in f32 and scans ~2x fewer
+        # XLA ops per probed row.
+        m = next((mm for mm in (16, 12, 8) if d % mm == 0), 0)
+        use_pq = (choice == "pq" or
+                  (choice == "auto" and m and n * d * 6 > 11e9))
+        if use_pq:
+            from leann_tpu.ops.ivf_pq import IvfPqEngine
+
+            # exact rescore at the highest precision that fits beside
+            # the codes: f32 < 4GB, bf16 < 8GB, else int8 (the 100M
+            # budget; ~0.001-scale score error on unit-norm corpora)
+            rescore = ("f32" if n * d * 4 < 4e9
+                       else "bf16" if n * d * 2 < 8e9 else "int8")
+            self.engine = IvfPqEngine(
+                vectors, metric=metric, m=m, rescore=rescore,
+                centers=ivf.centers, assign=ivf.assign,
+            )
+        else:
+            from leann_tpu.ops.ivf import IvfEngine
+
+            self.engine = IvfEngine(
+                vectors, metric=metric,
+                centers=ivf.centers, assign=ivf.assign,
+            )
 
     def __len__(self) -> int:
         return self.engine.n
