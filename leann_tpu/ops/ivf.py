@@ -337,29 +337,48 @@ class IvfEngine:
         target plus its measured recall. Cost: ladder+1 searches of
         `sample` queries — seconds, at build time.
         """
-        rng = np.random.default_rng(seed)
-        idx = rng.integers(0, self.n, sample)
+        idx = np.random.default_rng(seed).integers(0, self.n, sample)
         base = np.asarray(self._corpus_dev[jnp.asarray(idx)])
-        resid = base - self.centers[self.assign[idx]]
-        rstd = float(resid.std()) or 1e-3
-        q = base + rstd * rng.standard_normal(base.shape).astype(np.float32)
-        if self.metric_in == "cosine":
-            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        return calibrate_nprobe_ladder(
+            self, base, idx, target_recall=target_recall, k=k,
+            ladder=ladder, seed=seed)
 
-        oracle, _ = self.search(q, k=k, nprobe=self.n_clusters)
-        osets = [set(row.tolist()) for row in oracle]
-        best = (self.n_clusters, 1.0)
-        for nprobe in ladder:
-            if nprobe >= self.n_clusters:
-                break
-            ids, _ = self.search(q, k=k, nprobe=nprobe)
-            rec = float(np.mean([
-                len(set(row.tolist()) & osets[i]) / k
-                for i, row in enumerate(ids)
-            ]))
-            if rec >= target_recall:
-                return nprobe, rec
-        return best
+
+def calibrate_nprobe_ladder(
+    engine,                  # any IVF engine: .search/.n_clusters/...
+    base: np.ndarray,        # [sample, D] f32 corpus rows to query near
+    idx: np.ndarray,         # [sample] their corpus row ids
+    target_recall: float = 0.95,
+    k: int = 10,
+    ladder: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+    seed: int = 1,
+    frame_base: Optional[np.ndarray] = None,  # base in the centers'
+                                              # frame (OPQ engines)
+) -> Tuple[int, float]:
+    """Shared ladder walk for IvfEngine / IvfPqEngine (same semantics,
+    documented on IvfEngine.calibrate_nprobe)."""
+    rng = np.random.default_rng(seed)
+    fb = base if frame_base is None else frame_base
+    resid = fb - engine.centers[engine.assign[idx]]
+    rstd = float(resid.std()) or 1e-3
+    q = base + rstd * rng.standard_normal(base.shape).astype(np.float32)
+    if engine.metric_in == "cosine":
+        q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+
+    oracle, _ = engine.search(q, k=k, nprobe=engine.n_clusters)
+    osets = [set(row.tolist()) for row in oracle]
+    best = (engine.n_clusters, 1.0)
+    for nprobe in ladder:
+        if nprobe >= engine.n_clusters:
+            break
+        ids, _ = engine.search(q, k=k, nprobe=nprobe)
+        rec = float(np.mean([
+            len(set(row.tolist()) & osets[i]) / k
+            for i, row in enumerate(ids)
+        ]))
+        if rec >= target_recall:
+            return nprobe, rec
+    return best
 
 
 @functools.partial(

@@ -255,6 +255,33 @@ class IvfPqEngine:
             sentinel=self.n,
         )
 
+    def calibrate_nprobe(
+        self,
+        target_recall: float = 0.95,
+        k: int = 10,
+        sample: int = 256,
+        ladder: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+        seed: int = 1,
+    ) -> Tuple[int, float]:
+        """Smallest nprobe meeting `target_recall` — same ladder walk
+        as IvfEngine.calibrate_nprobe (documented there), driven
+        through this engine's ADC search. Base rows come from the
+        rescore corpus (dequantized when int8)."""
+        from leann_tpu.ops.ivf import calibrate_nprobe_ladder
+
+        idx = np.random.default_rng(seed).integers(0, self.n, sample)
+        base = np.asarray(
+            self.corpus[jnp.asarray(idx)]).astype(np.float32)
+        if self.corpus_scale is not None:
+            base = base * np.asarray(
+                self.corpus_scale[jnp.asarray(idx)])[:, None]
+        # centers/assign live in the rotated frame (OPQ); only the
+        # residual-spread scalar is frame-sensitive
+        fb = base @ self.rotation if self.rotation is not None else None
+        return calibrate_nprobe_ladder(
+            self, base, idx, target_recall=target_recall, k=k,
+            ladder=ladder, seed=seed, frame_base=fb)
+
     def search_many_device(self, qs, k: int = 10, nprobe: int = 32,
                            rescore_factor: int = 16):
         """[M, B, D] device-resident batches -> (ids, scores) [M, B, k]

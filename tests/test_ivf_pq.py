@@ -119,6 +119,16 @@ def test_ivf_searcher_pq_knob(monkeypatch):
     assert (idx[:, 0] == np.arange(8)).all()
 
 
+def test_ivfpq_calibrate_nprobe():
+    """Ladder calibration through the ADC engine: returns an operating
+    point meeting the target on the engine's own oracle."""
+    x = clustered(n=4000, seed=10)
+    eng = IvfPqEngine(x, n_clusters=64, metric="l2", m=8, rescore="f32")
+    nprobe, rec = eng.calibrate_nprobe(target_recall=0.9, sample=64)
+    assert rec >= 0.9
+    assert 1 <= nprobe <= eng.n_clusters
+
+
 def test_ivfpq_search_many_matches_single():
     x = clustered(n=3000, seed=7)
     import jax.numpy as jnp
