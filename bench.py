@@ -131,6 +131,17 @@ def main() -> None:
         engine = IvfEngine(corpus, n_clusters=N_CLUSTERS, metric="l2")
         search = lambda q, k: engine.search(q, k=k, nprobe=NPROBE)  # noqa: E731
         knobs = f"clusters={N_CLUSTERS}, nprobe={NPROBE}"
+    elif BACKEND == "ivfpq":
+        # ADC-compressed buckets + int8 rescore (ops/ivf_pq.py) — the
+        # 100M-class one-chip footprint measured at bench scale
+        from leann_tpu.ops.ivf_pq import IvfPqEngine
+
+        m = next((mm for mm in (16, 12, 8) if D % mm == 0), 8)
+        engine = IvfPqEngine(
+            corpus, n_clusters=N_CLUSTERS, metric="l2", m=m,
+            rescore=os.environ.get("LEANN_PQ_RESCORE", "int8"))
+        search = lambda q, k: engine.search(q, k=k, nprobe=NPROBE)  # noqa: E731
+        knobs = f"clusters={N_CLUSTERS}, nprobe={NPROBE}, adc-m{m}+int8"
     else:
         art_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
@@ -207,6 +218,7 @@ def main() -> None:
     dev_kwargs = {
         "flat": {},
         "ivf": {"nprobe": NPROBE},
+        "ivfpq": {"nprobe": NPROBE},
         "vamana": {"beam_width": SEARCH_BEAM},
         "pq": {"beam_width": SEARCH_BEAM},
     }[BACKEND]
