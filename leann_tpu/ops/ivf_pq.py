@@ -37,7 +37,7 @@ frame (scores are rotation-invariant).
 The scan is XLA end-to-end: bucket gather -> take_along_axis ADC
 lookup -> running top-C over a lax.scan across probes — identical
 control shape to ops/ivf.ivf_search, so the measured "XLA owns the
-bucket scan" decision (docs/design_r3.md) carries over. The reference
+bucket scan" decision (docs/design.md) carries over. The reference
 has no quantization at all (usearch F32 HNSW,
 /root/reference/src/backend/hnsw.rs:112-120); this engine has no
 reference counterpart.
