@@ -147,4 +147,12 @@ run ivfpq_10m 7200 \
 # 8. hardness sweep at 200k (all 9 configs, ivf + graph)
 run hardness 10800 python evals/hardness_sweep.py --n 200000 --d 128
 
+# 2g. the row the bf16 engine CANNOT serve: 30M x 96 on one chip
+# (bf16 IVF needs 17.3GB resident > v5e HBM; IVF-PQ needs ~3.7GB).
+# First run generates + caches the 30M pool (~45min host, 11.6GB
+# disk); runs LAST so the core rows land first if the window is short.
+run ivfpq_30m 10800 \
+  python evals/ivfpq_device_check.py --n 30000000 --d 96 --nprobe 16 \
+    --host-oracle
+
 echo "battery done; results in $OUT" >&2
