@@ -223,7 +223,10 @@ def main():
         else:
             probe = jnp.asarray(draw_qs(1, 99))
             t = min(time_many(call, [probe], 3))
-            m = int(max(4, min(512, 2.0 / max(t - 0.05, 1e-3))))
+            # target ~2s windows; do NOT subtract dispatch overhead from
+            # the probe time — for slow batches (B=8192) that inflated M
+            # to 512 and blew up window length/memory (round-3 8k step)
+            m = int(max(4, min(512, 2.0 / max(t, 1e-3))))
             log(f"probe batch {t*1e3:.1f}ms -> M={m}")
 
         qs_windows = [

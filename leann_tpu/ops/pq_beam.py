@@ -103,35 +103,46 @@ def _assemble_record(adj_rows, words, r, m, bits):
 
 
 def pack_pq_records(
-    adjacency: jnp.ndarray,   # [N+1, R] int32 (pad/sentinel = N)
-    codes: jnp.ndarray,       # [N+1, m] uint8 (row N = zeros)
+    adjacency,                # [N+1, R] int32 (pad/sentinel = N)
+    codes,                    # [N+1, m] uint8 (row N = zeros)
     bits: int,
-    chunk: int = 131072,
+    chunk: int = 262144,
 ) -> jnp.ndarray:
     """Build records [N+1, CP, 128] i32 per pq_layout (ids in plane-0
-    lanes [0, r); subspace words tail-packed from lane r onward)."""
+    lanes [0, r); subspace words tail-packed from lane r onward).
+
+    Packs on the HOST: this is a one-time build step, and the XLA
+    version OOM'd on hardware — each [c, 1, lps] subspace slice tiles
+    to (8, 128) with ~170x padding, so the fused assemble transiently
+    wanted 17GB HBM at 1M x m16 (round-4 pq_1m log). Chunked numpy
+    writes the planes directly with zero padding; one device_put at
+    the end."""
+    return jnp.asarray(pack_pq_records_host(adjacency, codes, bits, chunk))
+
+
+def pack_pq_records_host(adjacency, codes, bits: int,
+                         chunk: int = 262144) -> np.ndarray:
+    adjacency = np.asarray(adjacency, np.int32)
+    codes = np.asarray(codes, np.uint8)
     n1, r = adjacency.shape
     m = codes.shape[1]
     if r > 128:
         raise ValueError("R <= 128 required")
     cpl, lps, slots, cp = pq_layout(r, m, bits)
-    out = jnp.zeros((n1, cp, 128), jnp.int32)
-    shifts = (jnp.arange(cpl, dtype=jnp.int32) * bits)      # [cpl]
-
-    step = min(chunk, n1)
-
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def upd(buf, adj_, codes_, i):
-        rows = jax.lax.dynamic_slice_in_dim(adj_, i, step)   # [c, R]
-        nc = codes_[rows].astype(jnp.int32)                  # [c, R, m]
-        nc = jnp.transpose(nc, (0, 2, 1))                    # [c, m, R]
-        nc = nc.reshape(step, m, lps, cpl)
-        words = jnp.sum(nc << shifts[None, None, None, :], axis=3)
-        rec = _assemble_record(rows, words, r, m, bits)
-        return jax.lax.dynamic_update_slice(buf, rec, (i, 0, 0))
-
-    for i in range(0, n1, step):
-        out = upd(out, adjacency, codes, jnp.int32(min(i, n1 - step)))
+    out = np.zeros((n1, cp, 128), np.int32)
+    shifts = np.arange(cpl, dtype=np.int32) * bits          # [cpl]
+    for i in range(0, n1, chunk):
+        rows = adjacency[i : i + chunk]                     # [c, R]
+        c = rows.shape[0]
+        nc = codes[rows].astype(np.int32)                   # [c, R, m]
+        nc = np.transpose(nc, (0, 2, 1)).reshape(c, m, lps, cpl)
+        # same packed-word arithmetic as _repack_pq_jit: codes wrap into
+        # the i32 sign bit at shift 24 by design (two's-complement pack)
+        words = (nc << shifts[None, None, None, :]).sum(
+            axis=3, dtype=np.int32)                         # [c, m, lps]
+        out[i : i + chunk, 0, :r] = rows
+        for j, (pj, off) in enumerate(slots):
+            out[i : i + chunk, pj, off : off + lps] = words[:, j, :]
     return out
 
 
@@ -673,8 +684,7 @@ class PqBeamEngine:
         self.coarse_m = coarse_m
         codes1 = np.concatenate(
             [codes_full, np.zeros((1, self.mt), np.uint8)], axis=0)
-        self.records = pack_pq_records(
-            jnp.asarray(adj), jnp.asarray(codes1), self.bits)
+        self.records = pack_pq_records(adj, codes1, self.bits)
         # affine LUT operands: luts = q @ W^T + B (see ops/pq.adc_affine);
         # with OPQ, luts = (q rot) W^T + B = q (W rot^T)^T + B — fold
         # the rotation into W so queries enter the jit unrotated

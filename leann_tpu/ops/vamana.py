@@ -27,6 +27,7 @@ normalized (reference `src/embedding/models.rs:16`).
 from __future__ import annotations
 
 import functools
+import sys
 from typing import Tuple
 
 import jax
@@ -188,7 +189,13 @@ def build_vamana(
             expansions=expansions, verbose=verbose,
         )
         if verbose:
-            print(f"[vamana] pass {pass_i + 1}/{len(alphas)} done (alpha={pass_alpha})")
+            # stderr like every other verbose print: stdout is reserved
+            # for JSON result rows in the battery scripts (ADVICE r3)
+            print(
+                f"[vamana] pass {pass_i + 1}/{len(alphas)} done "
+                f"(alpha={pass_alpha})",
+                file=sys.stderr,
+            )
 
     adj_final = np.asarray(adjacency[:n])
     return adj_final, medoid

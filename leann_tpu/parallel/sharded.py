@@ -280,7 +280,7 @@ class ShardedGraphIndex:
             # rotation folds into lut_w (see ops/pq_beam.PqBeamEngine).
             from leann_tpu.ops.pq import (
                 adc_affine, encode_pq, reconstruct_pq, train_pq)
-            from leann_tpu.ops.pq_beam import pack_pq_records
+            from leann_tpu.ops.pq_beam import pack_pq_records_host
 
             rng = np.random.default_rng(seed)
             self.pq_m = next(
@@ -308,9 +308,7 @@ class ShardedGraphIndex:
             for s in range(self.n_shards):
                 codes = encode_pq(enc_stack[s], books)
                 codes[self.rows] = 0          # sentinel row
-                rec = pack_pq_records(
-                    jnp.asarray(adj_stack[s]), jnp.asarray(codes), 8)
-                rec_l.append(np.asarray(rec))
+                rec_l.append(pack_pq_records_host(adj_stack[s], codes, 8))
                 valid = min(self.rows, max(1, self.n - s * self.rows))
                 picks = rng.choice(valid, size=min(pool, valid),
                                    replace=False).astype(np.int32)
