@@ -130,6 +130,12 @@ def main():
         return (base + noise).reshape(m, b, d)
 
     nprobe = args.nprobe or (8 if n >= 500_000 else 16)
+    guard_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "expected_recall.json")
+    with open(guard_path) as f:
+        expected_recall = {
+            k: v for k, v in json.load(f).items() if not k.startswith("_")}
+    any_regression = False
     rows = []
     for backend in args.backend.split(","):
         log(f"=== {backend} ===")
@@ -217,6 +223,16 @@ def main():
         ]))
         log(f"recall@{args.k}: {recall:.4f}")
 
+        # recall-regression guard (VERDICT r3 #6): silent drift in a
+        # committed row must fail the step, not pass unremarked
+        expected = expected_recall.get(f"{backend}_n{n}_d{d}")
+        regression = None
+        if expected is not None and recall < expected - 0.002:
+            regression = {"expected": expected, "measured": round(recall, 4)}
+            log(f"RECALL REGRESSION: {recall:.4f} < committed "
+                f"{expected:.4f} - 0.002")
+            any_regression = True
+
         # pick M: target ~2s per dispatch using a 1-batch probe
         if args.m:
             m = args.m
@@ -258,6 +274,8 @@ def main():
             "device_qps_std": round(float(qps.std()), 1),
             "window_s": round(float(np.mean(times)), 2),
         }
+        if regression is not None:
+            row["recall_regression"] = regression
         if flops_per_batch:
             row["mfu_pct"] = round(
                 100.0 * flops_per_batch / per_batch.mean()
@@ -273,6 +291,8 @@ def main():
         with open(args.out, "w") as f:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
+    if any_regression:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

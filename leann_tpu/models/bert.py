@@ -40,6 +40,13 @@ class BertConfig:
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
     normalize_output: bool = True
+    # "gelu" = exact erf GELU (the HF/candle BERT default); "gelu_new" /
+    # "gelu_pytorch_tanh" = tanh approximation. Real-checkpoint parity
+    # requires honoring the checkpoint's own activation.
+    hidden_act: str = "gelu"
+    # bf16 matmuls w/ f32 accumulation is the TPU fast path; the parity
+    # test runs float32 for tight numerical comparison against torch.
+    compute_dtype: str = "bfloat16"
 
     @staticmethod
     def tiny() -> "BertConfig":
@@ -62,6 +69,7 @@ class BertConfig:
             max_position_embeddings=cfg.get("max_position_embeddings", 512),
             type_vocab_size=cfg.get("type_vocab_size", 2),
             layer_norm_eps=cfg.get("layer_norm_eps", 1e-12),
+            hidden_act=cfg.get("hidden_act", "gelu"),
         )
 
 
@@ -221,6 +229,8 @@ def bert_forward(
     heads = config.num_heads
     head_dim = h // heads
     mask = attention_mask.astype(jnp.float32)
+    cdt = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    gelu_approx = config.hidden_act in ("gelu_new", "gelu_pytorch_tanh")
 
     emb = params["embeddings"]
     x = (
@@ -234,24 +244,26 @@ def bert_forward(
     att_bias = (1.0 - mask)[:, None, None, :] * -1e9
 
     for layer in params["layers"]:
-        q = _dense(x, layer["q"]).reshape(b, tlen, heads, head_dim)
-        k = _dense(x, layer["k"]).reshape(b, tlen, heads, head_dim)
-        v = _dense(x, layer["v"]).reshape(b, tlen, heads, head_dim)
+        q = _dense(x, layer["q"], cdt).reshape(b, tlen, heads, head_dim)
+        k = _dense(x, layer["k"], cdt).reshape(b, tlen, heads, head_dim)
+        v = _dense(x, layer["v"], cdt).reshape(b, tlen, heads, head_dim)
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(head_dim)
         probs = jax.nn.softmax(scores + att_bias, axis=-1)
         ctx = jnp.einsum(
-            "bhqk,bkhd->bqhd", probs.astype(jnp.bfloat16),
-            v.astype(jnp.bfloat16), preferred_element_type=jnp.float32,
+            "bhqk,bkhd->bqhd", probs.astype(cdt),
+            v.astype(cdt), preferred_element_type=jnp.float32,
         ).reshape(b, tlen, h)
         x = _layer_norm(
-            x + _dense(ctx, layer["attn_out"]), layer["attn_ln"],
+            x + _dense(ctx, layer["attn_out"], cdt), layer["attn_ln"],
             config.layer_norm_eps,
         )
-        y = jax.nn.gelu(_dense(x, layer["ffn_in"]), approximate=True)
+        y = jax.nn.gelu(
+            _dense(x, layer["ffn_in"], cdt), approximate=gelu_approx
+        )
         x = _layer_norm(
-            x + _dense(y, layer["ffn_out"]), layer["ffn_ln"],
+            x + _dense(y, layer["ffn_out"], cdt), layer["ffn_ln"],
             config.layer_norm_eps,
         )
 
@@ -347,6 +359,7 @@ class BertEncoder:
         model_dir: Optional[str] = None,
         max_length: int = 256,
         seed: int = 0,
+        compute_dtype: Optional[str] = None,
     ):
         if model_dir:
             if not os.path.isdir(model_dir):
@@ -384,6 +397,11 @@ class BertEncoder:
             self.config = config or BertConfig.tiny()
             self.params = init_params(self.config, seed)
             self.tokenizer = HashTokenizer(self.config.vocab_size, max_length)
+        if compute_dtype is not None:
+            import dataclasses
+
+            self.config = dataclasses.replace(
+                self.config, compute_dtype=compute_dtype)
         self.max_length = min(max_length, self.config.max_position_embeddings)
         self.params = jax.device_put(self.params)
         self._fwd = jax.jit(
