@@ -56,6 +56,15 @@ class ServerState:
 def make_handler(state: ServerState, cors: bool):
     class Handler(BaseHTTPRequestHandler):
         server_version = f"leann-tpu/{__version__}"
+        # HTTP/1.1 keep-alive: without it BaseHTTPRequestHandler speaks
+        # HTTP/1.0 and closes after every response, so clients reusing
+        # connections desync (and every request pays a TCP setup). The
+        # reference's axum server is keep-alive HTTP/1.1 (serve.rs:90).
+        protocol_version = "HTTP/1.1"
+        # headers and body go out in separate send()s; with Nagle on,
+        # keep-alive connections stall ~40ms per response waiting for the
+        # peer's delayed ACK (measured: p50 8ms -> 48ms without this)
+        disable_nagle_algorithm = True
 
         def log_message(self, fmt, *args):  # route through stdout quietly
             pass
