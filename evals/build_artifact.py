@@ -23,6 +23,10 @@ L = int(os.environ.get("ART_L", 80))
 CAP = int(os.environ.get("ART_CAP", 16))
 WAVE = int(os.environ.get("ART_WAVE", 8192))
 PASSES = int(os.environ.get("ART_PASSES", 2))
+# E=4 halves the XLA engine's sequential gather rounds per wave at the
+# same total gathered rows (r3 lever, CPU-validated recall-neutral for
+# building too — /tmp/e4check); the fused engine caps at E=2.
+EXPANSIONS = int(os.environ.get("ART_EXPANSIONS", 2))
 OUT = os.environ.get(
     "ART_OUT",
     os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -52,6 +56,7 @@ def main():
     adjacency, medoid = build_vamana(
         corpus, graph_degree=R, complexity=L, alpha=1.2, metric="l2",
         wave_size=WAVE, incoming_cap=CAP, passes=PASSES, verbose=True,
+        expansions=EXPANSIONS,
     )
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")

@@ -57,6 +57,36 @@ def pallas_available() -> bool:
         return False
 
 
+def tpu_compiler_options():
+    """Per-jit XLA options for programs containing big Pallas kernels.
+
+    The PQ traversal kernel's unrolled per-subspace ADC contraction
+    needs ~55MB of Mosaic stack temporaries at qb=16 — over the 16MB
+    default scoped-vmem limit (v5e VMEM is 128MB, so the headroom is
+    real; first-hardware-compile OOM, round 4). Raising the limit is a
+    TPU-only debug option: CPU/GPU compiles reject the unknown flag, so
+    return None there."""
+    if not pallas_available():
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+
+
+def lazy_tpu_jit(fn, **jit_kwargs):
+    """jax.jit with `tpu_compiler_options`, deferred to first call so
+    importing a module never initializes a JAX backend."""
+    box = {}
+
+    def call(*args, **kwargs):
+        f = box.get("f")
+        if f is None:
+            f = jax.jit(
+                fn, compiler_options=tpu_compiler_options(), **jit_kwargs)
+            box["f"] = f
+        return f(*args, **kwargs)
+
+    return call
+
+
 def _bucket_dots_kernel(probe_ref, q_ref, vecs_hbm, o_ref, scratch, sems):
     # probe_ref: [B, P] int32 (scalar prefetch, SMEM)
     # q_ref:     [QGROUP, D] f32 block for this program's queries

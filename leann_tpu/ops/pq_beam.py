@@ -816,13 +816,7 @@ class PqBeamEngine:
         )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("r", "m", "ksub", "bits", "beam_width", "max_iters",
-                     "metric", "qb", "ring_size", "visited_pool", "k",
-                     "interpret"),
-)
-def _pq_search_jit(
+def _pq_search_impl(
     queries, records, lut_w, lut_b, corpus, corpus_nsq, corpus_scale,
     seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
     r, m, ksub, bits, beam_width, max_iters, metric, qb, ring_size,
@@ -893,13 +887,17 @@ def _pq_search_jit(
     return top_ids, top_scores
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("r", "m", "ksub", "bits", "beam_width", "max_iters",
-                     "metric", "qb", "ring_size", "visited_pool", "k",
-                     "interpret"),
-)
-def _pq_search_many_jit(
+# lazy jits with the raised scoped-vmem limit (first-hardware-compile
+# OOM: the kernel's unrolled ADC temporaries exceed the 16MB default)
+from leann_tpu.ops.pallas_kernels import lazy_tpu_jit as _lazy_tpu_jit  # noqa: E402
+
+_PQ_STATIC = ("r", "m", "ksub", "bits", "beam_width", "max_iters",
+              "metric", "qb", "ring_size", "visited_pool", "k",
+              "interpret")
+_pq_search_jit = _lazy_tpu_jit(_pq_search_impl, static_argnames=_PQ_STATIC)
+
+
+def _pq_search_many_impl(
     qs, records, lut_w, lut_b, corpus, corpus_nsq, corpus_scale,
     seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
     r, m, ksub, bits, beam_width, max_iters, metric, qb, ring_size,
@@ -916,3 +914,7 @@ def _pq_search_many_jit(
 
     _, (ids, scores) = jax.lax.scan(body, None, qs)
     return ids, scores
+
+
+_pq_search_many_jit = _lazy_tpu_jit(
+    _pq_search_many_impl, static_argnames=_PQ_STATIC)

@@ -149,18 +149,30 @@ def build_vamana(
         search_metric = metric
 
     # --- medoid: nearest (L2) to the centroid ---
+    import time as _time
+
     from leann_tpu.ops.distance import exact_topk
 
+    t_med = _time.time()
     mean = vectors.mean(axis=0, keepdims=True)
     _, medoid_idx = exact_topk(mean, vectors, 1, metric="l2")
     medoid = int(medoid_idx[0, 0])
+    if verbose:
+        print(f"[vamana] medoid {_time.time() - t_med:.1f}s",
+              file=sys.stderr, flush=True)
 
     # --- device-resident state ---
+    t_up = _time.time()
     vecs_dev = jnp.asarray(
         np.concatenate([vectors, np.zeros((1, d), np.float32)])
     )                                                              # [N+1, D]
-    vf = np.asarray(vecs_dev)
-    sq_norms = jnp.asarray((vf * vf).sum(axis=1))
+    # squared norms on device: round-tripping the 0.5GB corpus back to
+    # host for a reduction was pure relay waste
+    sq_norms = jnp.sum(vecs_dev * vecs_dev, axis=1)
+    jax.block_until_ready(sq_norms)
+    if verbose:
+        print(f"[vamana] corpus upload+norms {_time.time() - t_up:.1f}s",
+              file=sys.stderr, flush=True)
 
     # random initial R-regular graph (self-edges displaced by +1)
     init = rng.integers(0, n - 1, size=(n, r), dtype=np.int64)
@@ -231,8 +243,7 @@ def insert_points(
     vecs_dev = jnp.asarray(
         np.concatenate([vectors, np.zeros((1, d), np.float32)])
     )
-    vf = np.asarray(vecs_dev)
-    sq_norms = jnp.asarray((vf * vf).sum(axis=1))
+    sq_norms = jnp.sum(vecs_dev * vecs_dev, axis=1)
     adj = np.ascontiguousarray(adjacency, dtype=np.int32)
     adj_dev = jnp.asarray(
         np.concatenate([adj, np.full((1, adj.shape[1]), n, np.int32)])
@@ -311,8 +322,15 @@ def _insert_waves(
             repack_rows,
         )
 
+        t_pack = time.time()
         quant = quantize_corpus(vecs_dev)
         blocks, meta = pack_fused(vecs_dev, adjacency, quant=quant)
+        import jax as _jax
+
+        _jax.block_until_ready(blocks)
+        if verbose or profile:
+            print(f"[vamana] pack {time.time() - t_pack:.1f}s",
+                  file=sys.stderr, flush=True)
         q8, scale, nsq = quant
         # fixed-shape changed-row buffer for the reverse-repack, padded
         # with the sentinel (self-healing)
@@ -460,6 +478,9 @@ def _insert_waves(
                 )
     if pending is not None:
         apply_pending(pending)
+    if verbose or profile:
+        print(f"[vamana] pass wall {time.time() - pass_t0:.1f}s",
+              file=sys.stderr, flush=True)
     return adjacency
 
 

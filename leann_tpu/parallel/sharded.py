@@ -32,6 +32,7 @@ except AttributeError:  # pragma: no cover
 
 from leann_tpu.ops.beam import beam_search_batch
 from leann_tpu.ops.distance import NEG_INF, pairwise_scores
+from leann_tpu.ops.pallas_kernels import lazy_tpu_jit as _lazy_tpu_jit
 
 
 def _pad_rows(x: np.ndarray, rows: int, fill=0) -> np.ndarray:
@@ -242,14 +243,20 @@ class ShardedGraphIndex:
 
             bl_l, me_l = [], []
             for s in range(self.n_shards):
+                # self.vec_stack is already on device — slicing it avoids
+                # re-uploading the corpus once per shard
                 bl, me = pack_fused(
-                    jnp.asarray(vec_stack[s]), jnp.asarray(adj_stack[s])
+                    self.vec_stack[s], self.adj_stack[s]
                 )
-                bl_l.append(np.asarray(bl))
-                me_l.append(np.asarray(me))
+                # keep the packed blocks ON DEVICE: round-tripping them
+                # through np.asarray cost 2 x N*R*D bytes over the host
+                # link (12GB at 1M R=48 D=128 — a 30-minute hang on the
+                # relay tunnel, round-4 hardware shakeout)
+                bl_l.append(bl)
+                me_l.append(me)
             shard4 = NamedSharding(mesh, P("shard", None, None, None))
-            self.blocks_stack = jax.device_put(np.stack(bl_l), shard4)
-            self.meta_stack = jax.device_put(np.stack(me_l), shard4)
+            self.blocks_stack = jax.device_put(jnp.stack(bl_l), shard4)
+            self.meta_stack = jax.device_put(jnp.stack(me_l), shard4)
 
             # per-shard seed pools (true vectors, bf16) for query-
             # adaptive entry selection inside the shard body
@@ -530,14 +537,7 @@ def _sharded_fused_topk(
               seed_ids_stack, seed_vecs_stack)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "k", "beam_width", "metric", "mesh", "rows", "valid_n", "r",
-        "m", "ksub", "qb", "interpret",
-    ),
-)
-def _sharded_pq_topk(
+def _sharded_pq_topk_impl(
     queries, vec_stack, sq_stack, records_stack, lut_w, lut_b,
     seed_ids_stack, seed_vecs_stack, seed_nsq_stack,
     k, beam_width, metric, mesh, rows, valid_n, r, m, ksub, qb,
@@ -636,6 +636,17 @@ def _sharded_pq_topk(
     )
     return fn(queries, vec_stack, sq_stack, records_stack, lut_w, lut_b,
               seed_ids_stack, seed_vecs_stack, seed_nsq_stack)
+
+
+# lazy jit with the raised scoped-vmem limit: the PQ kernel's unrolled
+# ADC temporaries exceed the 16MB default (see ops/pallas_kernels.py)
+_sharded_pq_topk = _lazy_tpu_jit(
+    _sharded_pq_topk_impl,
+    static_argnames=(
+        "k", "beam_width", "metric", "mesh", "rows", "valid_n", "r",
+        "m", "ksub", "qb", "interpret",
+    ),
+)
 
 
 class ShardedIvfIndex:
