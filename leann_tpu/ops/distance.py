@@ -326,6 +326,17 @@ class ExactEngine:
             q = q[None, :]
         if self.metric_in == "cosine":
             q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        # bucket the batch dim: serving batches arrive at arbitrary B
+        # (the HTTP micro-batcher flushes whatever is pending) and every
+        # distinct shape is a fresh XLA compile — ~30s each over the
+        # relay, which destroyed the config-4 p50 (measured ~900ms).
+        b = q.shape[0]
+        bb = 8
+        while bb < b:
+            bb *= 2
+        if bb != b:
+            q = np.concatenate(
+                [q, np.zeros((bb - b, q.shape[1]), np.float32)])
         qd = jnp.asarray(q)
         k = min(k, self.n)
         if exact_scan:
@@ -335,7 +346,7 @@ class ExactEngine:
             )
         else:
             idx, scores = self.search_device(qd, k, rescore_factor)
-        return np.asarray(idx), np.asarray(scores)
+        return np.asarray(idx)[:b], np.asarray(scores)[:b]
 
     def search_device(
         self, queries: jnp.ndarray, k: int = 10, rescore_factor: int = 8

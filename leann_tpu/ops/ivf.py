@@ -263,10 +263,22 @@ class IvfEngine:
         resident corpus — bf16-final scores cost ~0.06 recall@10 to
         near-tie reordering (measured at 1M x 128); the rescore recovers
         it for ~zero cost."""
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        # pow-2 batch bucket (see ExactEngine.search): arbitrary serving
+        # batch sizes must not each pay a fresh XLA compile
+        b = q.shape[0]
+        bb = 8
+        while bb < b:
+            bb *= 2
+        if bb != b:
+            q = np.concatenate(
+                [q, np.zeros((bb - b, q.shape[1]), np.float32)])
         ids, scores = self.search_device(
-            queries, k=k, nprobe=nprobe, rescore_factor=rescore_factor
+            q, k=k, nprobe=nprobe, rescore_factor=rescore_factor
         )
-        return np.asarray(ids), np.asarray(scores)
+        return np.asarray(ids)[:b], np.asarray(scores)[:b]
 
     def search_device(
         self, queries, k: int = 10, nprobe: int = 32,

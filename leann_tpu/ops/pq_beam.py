@@ -904,7 +904,9 @@ def _pq_search_many_impl(
     visited_pool, k, interpret,
 ):
     def body(_, q):
-        ids, scores = _pq_search_jit(
+        # call the impl, not the jitted wrapper: compiler_options are
+        # only legal on the top-level jit (this body is already traced)
+        ids, scores = _pq_search_impl(
             q, records, lut_w, lut_b, corpus, corpus_nsq, corpus_scale,
             seed_ids, seed_vecs_hat, seed_hat_nsq, exclude,
             r, m, ksub, bits, beam_width, max_iters, metric, qb,
