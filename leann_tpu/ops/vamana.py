@@ -185,6 +185,22 @@ def build_vamana(
     medoid_dev = jnp.int32(medoid)
     max_iters = 2 * L + 16  # scaled down by expansions inside _insert_waves
 
+    # --- adaptive wave size: the prune phase materializes cand_vecs
+    # [W, C, D] plus the pairwise cube d_cc [W, C, C] with C = 3L + R
+    # (visited log 2L ++ beam L ++ current R). At d=128 L=80 that is
+    # ~3.9GB at W=8192 (the tuned config); at d=768 L=96 it is ~17GB —
+    # instant HBM OOM (hit by the 100k recompute build, r4). Halve the
+    # wave until the transient fits the same ~5GB envelope the tuned
+    # config uses, instead of asking callers to know kernel internals.
+    cand_width = 3 * L + r
+    per_point = cand_width * d * 4 + cand_width * cand_width * 4
+    while wave_size > 1024 and wave_size * per_point > 5.0e9:
+        wave_size //= 2
+    if verbose and wave_size != 8192:
+        print(f"[vamana] wave_size -> {wave_size} "
+              f"(prune transient {wave_size * per_point / 1e9:.1f}GB)",
+              file=sys.stderr, flush=True)
+
     alphas = [1.0] * (passes - 1) + [alpha] if passes > 1 else [alpha]
     # early passes build a scaffold the final full-L pass refines: a
     # narrower pass-1 beam cuts wave-search + prune-pool cost ~30% with
