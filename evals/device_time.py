@@ -164,6 +164,29 @@ def main():
             knobs = f"clusters={clusters}, nprobe={nprobe}, cap={cap}"
             rec_ids, _ = eng.search_device(
                 jnp.asarray(rq), k=args.k, nprobe=nprobe)
+        elif backend == "ivf8":
+            from leann_tpu.ops.ivf_int8 import IvfInt8Engine
+
+            clusters = max(64, int(2 * n ** 0.5))
+            kc = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "artifacts",
+                f"kmeans_n{n}_d{d}.npz")
+            centers = assign = None
+            if os.path.exists(kc):
+                z = np.load(kc)
+                centers, assign = z["centers"], z["assign"]
+                log(f"kmeans cache {kc}")
+            eng = IvfInt8Engine(corpus, n_clusters=clusters, metric="l2",
+                                centers=centers, assign=assign)
+            call = lambda qs: eng.search_many_device(  # noqa: E731
+                qs, k=args.k, nprobe=nprobe)
+            nb = eng.bucket_cent.shape[0]
+            cap = eng.cap
+            flops_per_batch = 2.0 * b * d * (nprobe * cap + nb)
+            bytes_per_batch = min(nb, b * nprobe) * cap * d * 1.0
+            knobs = f"clusters={eng.n_clusters}, nprobe={nprobe}, cap={cap}"
+            rec_ids, _ = eng.search_device(
+                jnp.asarray(rq), k=args.k, nprobe=nprobe)
         elif backend == "vamana":
             from leann_tpu.ops.fused_beam import FusedBeamEngine
 

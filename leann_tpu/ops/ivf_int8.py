@@ -1,0 +1,295 @@
+"""IVF with int8 bucket payload: the TPU-native 100M-class engine.
+
+Why this exists, given ops/ivf.py (bf16) and ops/ivf_pq.py (ADC):
+
+- bf16 IVF keeps 2B/dim of packed payload PLUS the f32 rescore corpus
+  resident — 19GB + 38GB at 100M x 96, far over one v5e's 16GB HBM.
+- PQ-ADC compresses to m bytes/row, but its table lookup is
+  fundamentally gather-shaped. TPUs have no fast gather: the ADC scan
+  measured 15.7s/batch at 10M (r4) vs 96ms for the matmul-shaped bf16
+  scan of the SAME buckets. One-hot contraction recovers ~10-40x but
+  still burns m*ksub/d ~ 42x the flops of scanning raw vectors.
+
+The TPU answer (same conclusion as Google's TPU-KNN work: peak
+FLOP/s comes from scanning quantized vectors with the MXU, not from
+lookup tables): store each row once, as int8 with a per-row scale,
+packed by bucket; scan probed buckets with int8->bf16 MXU matmuls;
+exactly rescore survivors FROM THE SAME PAYLOAD (tracked by packed
+position), so no second corpus copy exists.
+
+    HBM at 100M x 96:  payload 1.3*N*D = 12.5GB (int8, cap-padded)
+                       + ids 0.52GB + scale(bf16) 0.26GB
+                       + |x|^2 (f32) 0.52GB + centroids  ~= 13.9GB
+
+Score algebra (l2, negated-distance convention): x ~= s * c8 with
+per-row scale s, so 2<q,x> - |x|^2 ~= 2*s*<q,c8> - nsq with nsq stored
+exactly (f32, from the f32 row at pack time) — the scan's only error
+is the int8 product (~0.4% relative), the same order as the bf16
+engine's scan error, and the f32-dequant rescore removes it from the
+final top-k.
+
+The reference backend holds one f32 HNSW in RAM
+(/root/reference/src/backend/hnsw.rs:112-120) and has no quantized or
+bucketed serving tier; this engine is TPU-native new capability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from leann_tpu.ops.distance import NEG_INF, pairwise_scores
+from leann_tpu.ops.ivf import kmeans
+
+
+def pack_int8_buckets(
+    vectors: np.ndarray,    # [N, D] f32
+    assign: np.ndarray,     # [N] int32
+    centers: np.ndarray,    # [K, D] f32
+    cap: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (bucket_ids [K', cap], bucket_cent [K', D],
+    payload [K', cap, D] int8, scale [K', cap] f32, nsq [K', cap] f32).
+    Overflow rows become extra buckets sharing the parent centroid
+    (same policy as ops/ivf.pack_buckets); empty slots: id sentinel n,
+    zero payload/scale/nsq."""
+    n, d = vectors.shape
+    k = centers.shape[0]
+    counts = np.bincount(assign, minlength=k)
+    if cap is None:
+        cap = max(8, int(np.ceil(1.3 * n / k)))
+    order = np.argsort(assign, kind="stable")
+    starts = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rows = []
+    for c in range(k):
+        ids = order[starts[c]:starts[c + 1]]
+        for off in range(0, max(len(ids), 1), cap):
+            part = ids[off:off + cap]
+            if len(part) == 0 and off > 0:
+                break
+            rows.append((c, part))
+    kp = len(rows)
+    bucket_ids = np.full((kp, cap), n, dtype=np.int32)
+    bucket_cent = np.zeros((kp, d), dtype=np.float32)
+    payload = np.zeros((kp, cap, d), dtype=np.int8)
+    scale = np.zeros((kp, cap), dtype=np.float32)
+    nsq = np.zeros((kp, cap), dtype=np.float32)
+    for row, (c, ids) in enumerate(rows):
+        bucket_ids[row, :len(ids)] = ids
+        bucket_cent[row] = centers[c]
+        if len(ids):
+            v = vectors[ids]
+            s = np.maximum(np.abs(v).max(axis=1), 1e-12).astype(np.float32)
+            payload[row, :len(ids)] = np.clip(
+                np.round(v / s[:, None] * 127.0), -127, 127
+            ).astype(np.int8)
+            scale[row, :len(ids)] = s / 127.0
+            nsq[row, :len(ids)] = np.einsum(
+                "nd,nd->n", v, v, dtype=np.float64
+            ).astype(np.float32)
+    return bucket_ids, bucket_cent, payload, scale, nsq
+
+
+class IvfInt8Engine:
+    """API mirrors IvfEngine / IvfPqEngine (search / search_device /
+    search_many_device / calibrate_nprobe)."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        n_clusters: Optional[int] = None,
+        metric: str = "ip",
+        kmeans_iters: int = 8,
+        cap: Optional[int] = None,
+        seed: int = 0,
+        centers: Optional[np.ndarray] = None,
+        assign: Optional[np.ndarray] = None,
+    ):
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self.metric_in = metric
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+            metric = "ip"
+        self.metric = metric
+        self.n, self.d = vectors.shape
+        if centers is not None:
+            n_clusters = centers.shape[0]
+        elif n_clusters is None:
+            n_clusters = max(16, int(np.sqrt(self.n) * 2))
+        self.n_clusters = min(n_clusters, self.n)
+        if centers is None or assign is None:
+            centers, assign = kmeans(
+                vectors, self.n_clusters, iters=kmeans_iters,
+                metric=self.metric, seed=seed,
+            )
+        self.centers = centers
+        self.assign = assign
+        bucket_ids, bucket_cent, payload, scale, nsq = pack_int8_buckets(
+            vectors, assign, centers, cap=cap
+        )
+        self.cap = bucket_ids.shape[1]
+        self.bucket_ids = jnp.asarray(bucket_ids)
+        self.bucket_cent = jnp.asarray(bucket_cent)
+        self.payload = jnp.asarray(payload)
+        self.scale = jnp.asarray(scale)
+        self.nsq = jnp.asarray(nsq)
+
+    # ------------------------------------------------------------ search
+
+    def _norm_q(self, queries):
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        return q
+
+    def search(self, queries, k: int = 10, nprobe: int = 32,
+               rescore_factor: int = 4):
+        q = self._norm_q(queries)
+        # pow-2 batch bucket: arbitrary serving batch sizes must not
+        # each pay a fresh XLA compile (see IvfEngine.search)
+        b = q.shape[0]
+        bb = 8
+        while bb < b:
+            bb *= 2
+        if bb != b:
+            q = np.concatenate([q, np.zeros((bb - b, self.d), np.float32)])
+        ids, scores = self.search_device(
+            q, k=k, nprobe=nprobe, rescore_factor=rescore_factor)
+        return np.asarray(ids)[:b], np.asarray(scores)[:b]
+
+    def search_device(self, queries, k: int = 10, nprobe: int = 32,
+                      rescore_factor: int = 4):
+        q = self._norm_q(queries)
+        nprobe = min(nprobe, self.bucket_cent.shape[0])
+        k = min(k, self.n)
+        c = min(max(rescore_factor * k, k), self.n)
+        return _ivf8_search_jit(
+            jnp.asarray(q), self.bucket_cent, self.bucket_ids,
+            self.payload, self.scale, self.nsq,
+            k=k, c=c, nprobe=nprobe, metric=self.metric,
+            sentinel=self.n,
+        )
+
+    def search_many_device(self, qs, k: int = 10, nprobe: int = 32,
+                           rescore_factor: int = 4):
+        """[M, B, D] device-resident batches -> (ids, scores) [M, B, k]
+        in ONE dispatch (relay amortization, evals/device_time.py)."""
+        nprobe = min(nprobe, self.bucket_cent.shape[0])
+        k = min(k, self.n)
+        c = min(max(rescore_factor * k, k), self.n)
+
+        def body(_, q):
+            out = _ivf8_search_jit(
+                q, self.bucket_cent, self.bucket_ids,
+                self.payload, self.scale, self.nsq,
+                k=k, c=c, nprobe=nprobe, metric=self.metric,
+                sentinel=self.n,
+            )
+            return None, out
+
+        _, (ids, scores) = jax.lax.scan(body, None, qs)
+        return ids, scores
+
+    def calibrate_nprobe(
+        self,
+        target_recall: float = 0.95,
+        k: int = 10,
+        sample: int = 256,
+        ladder: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+        seed: int = 1,
+    ) -> Tuple[int, float]:
+        """Same ladder walk as IvfEngine.calibrate_nprobe (documented
+        there). Base rows are dequantized from the packed payload."""
+        from leann_tpu.ops.ivf import calibrate_nprobe_ladder
+
+        rng = np.random.default_rng(seed)
+        idx = rng.integers(0, self.n, sample)
+        # packed position of each sampled global id
+        ids_flat = np.asarray(self.bucket_ids).reshape(-1)
+        pos_of = np.full(self.n + 1, -1, np.int64)
+        pos_of[ids_flat] = np.arange(ids_flat.shape[0])
+        pos = pos_of[idx]
+        pay = np.asarray(self.payload).reshape(-1, self.d)[pos]
+        sc = np.asarray(self.scale).reshape(-1)[pos]
+        base = pay.astype(np.float32) * sc[:, None]
+        return calibrate_nprobe_ladder(
+            self, base, idx, target_recall=target_recall, k=k,
+            ladder=ladder, seed=seed)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "c", "nprobe", "metric", "sentinel"),
+)
+def _ivf8_search_jit(
+    queries, bucket_cent, bucket_ids, payload, scale, nsq,
+    k: int, c: int, nprobe: int, metric: str, sentinel: int,
+):
+    """int8 bucket scan (running top-C over a lax.scan across probes,
+    candidates tracked by PACKED position) + f32-dequant rescore from
+    the same payload. One jit, device-in/device-out."""
+    b, d = queries.shape
+    cap = bucket_ids.shape[1]
+
+    c_scores = pairwise_scores(queries, bucket_cent, metric)
+    _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
+
+    q_bf = queries.astype(jnp.bfloat16)
+    cc = min(c, cap * nprobe)
+    init = (
+        jnp.full((b, cc), NEG_INF, jnp.float32),
+        jnp.full((b, cc), -1, jnp.int32),                    # packed pos
+    )
+
+    def step(carry, p):
+        best_scores, best_pos = carry
+        cluster = probe[:, p]                                # [B]
+        ids = bucket_ids[cluster]                            # [B, cap]
+        rows = payload[cluster].astype(jnp.bfloat16)         # [B, cap, D]
+        dots = jnp.einsum(
+            "bcd,bd->bc", rows, q_bf,
+            preferred_element_type=jnp.float32,
+        )
+        dots = dots * scale[cluster]
+        if metric == "l2":
+            scores = 2.0 * dots - nsq[cluster]
+        else:
+            scores = dots
+        scores = jnp.where(ids == sentinel, NEG_INF, scores)
+        pos = cluster[:, None] * cap + jax.lax.broadcasted_iota(
+            jnp.int32, (b, cap), 1)
+        all_scores = jnp.concatenate([best_scores, scores], axis=1)
+        all_pos = jnp.concatenate([best_pos, pos], axis=1)
+        top_scores, sel = jax.lax.top_k(all_scores, cc)
+        top_pos = jnp.take_along_axis(all_pos, sel, axis=1)
+        return (top_scores, top_pos), None
+
+    (cand_scores, cand_pos), _ = jax.lax.scan(
+        step, init, jnp.arange(nprobe))
+
+    # exact rescore from the packed payload (f32 dequant), no second
+    # corpus copy; invalid positions stay NEG_INF
+    gpos = jnp.maximum(cand_pos, 0)
+    rows = payload.reshape(-1, d)[gpos].astype(jnp.float32)  # [B, C, D]
+    rows = rows * scale.reshape(-1)[gpos][:, :, None]
+    dots = jnp.einsum(
+        "bcd,bd->bc", rows, queries,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gids = bucket_ids.reshape(-1)[gpos]                      # [B, C]
+    scores = 2.0 * dots - nsq.reshape(-1)[gpos] if metric == "l2" else dots
+    scores = jnp.where(
+        (cand_pos < 0) | (gids == sentinel), NEG_INF, scores)
+    top_scores, sel = jax.lax.top_k(scores, k)
+    top_ids = jnp.take_along_axis(gids, sel, axis=1)
+    top_ids = jnp.where(top_scores == NEG_INF, -1, top_ids)
+    return top_ids, top_scores
