@@ -148,20 +148,12 @@ def build_vamana(
     else:
         search_metric = metric
 
-    # --- medoid: nearest (L2) to the centroid ---
     import time as _time
 
-    from leann_tpu.ops.distance import exact_topk
-
-    t_med = _time.time()
-    mean = vectors.mean(axis=0, keepdims=True)
-    _, medoid_idx = exact_topk(mean, vectors, 1, metric="l2")
-    medoid = int(medoid_idx[0, 0])
-    if verbose:
-        print(f"[vamana] medoid {_time.time() - t_med:.1f}s",
-              file=sys.stderr, flush=True)
-
-    # --- device-resident state ---
+    # --- device-resident state (upload FIRST: the medoid used to go
+    # through exact_topk, whose own jnp.asarray re-uploaded the whole
+    # corpus over the relay — 1077s of the 10M build was that double
+    # transfer) ---
     t_up = _time.time()
     vecs_dev = jnp.asarray(
         np.concatenate([vectors, np.zeros((1, d), np.float32)])
@@ -172,6 +164,18 @@ def build_vamana(
     jax.block_until_ready(sq_norms)
     if verbose:
         print(f"[vamana] corpus upload+norms {_time.time() - t_up:.1f}s",
+              file=sys.stderr, flush=True)
+
+    # --- medoid: nearest (L2) to the centroid, from the resident
+    # corpus (one matvec + argmax; the zero pad row does not affect the
+    # sum and is masked from the argmax) ---
+    t_med = _time.time()
+    mean_dev = jnp.sum(vecs_dev, axis=0) / n
+    dots = vecs_dev @ mean_dev                                     # [N+1]
+    neg_d2 = 2.0 * dots - sq_norms
+    medoid = int(jnp.argmax(neg_d2.at[n].set(-jnp.inf)))
+    if verbose:
+        print(f"[vamana] medoid {_time.time() - t_med:.1f}s",
               file=sys.stderr, flush=True)
 
     # random initial R-regular graph (self-edges displaced by +1)
