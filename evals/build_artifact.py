@@ -52,11 +52,16 @@ def main():
     log(f"devices: {jax.devices()}")
     pool = get_pool(N, D)
     corpus = pool[:N]
+    # wave checkpoint + stall watchdog: a wedged relay dispatch exits 17
+    # and the next invocation resumes from the snapshot (r4: a silent
+    # 55-min hang at wave 750/1221 cost the whole 2h build)
+    ckpt = os.environ.get("ART_CKPT", OUT + ".ckpt")
+    os.environ.setdefault("LEANN_BUILD_STALL_S", "900")
     t0 = time.time()
     adjacency, medoid = build_vamana(
         corpus, graph_degree=R, complexity=L, alpha=1.2, metric="l2",
         wave_size=WAVE, incoming_cap=CAP, passes=PASSES, verbose=True,
-        expansions=EXPANSIONS,
+        expansions=EXPANSIONS, checkpoint_path=ckpt,
     )
     build_s = time.time() - t0
     log(f"build: {build_s:.1f}s ({N / build_s:.0f} vec/s)")
@@ -64,6 +69,8 @@ def main():
     np.savez(OUT, adjacency=adjacency, medoid=np.int32(medoid),
              build_s=np.float32(build_s), n=N, d=D, r=R, L=L, cap=CAP)
     log(f"saved {OUT}")
+    if os.path.exists(ckpt):
+        os.remove(ckpt)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,7 @@ normalized (reference `src/embedding/models.rs:16`).
 from __future__ import annotations
 
 import functools
+import os
 import sys
 from typing import Tuple
 
@@ -37,6 +38,10 @@ import numpy as np
 from leann_tpu.ops.beam import beam_search_batch
 
 INF = float("inf")
+
+
+class BuildAborted(RuntimeError):
+    """Raised by the LEANN_BUILD_ABORT_AFTER test hook."""
 
 
 @functools.partial(jax.jit, static_argnames=("degree", "precision"))
@@ -119,6 +124,50 @@ def _pad_pow2(x: int, floor: int = 8) -> int:
     return size
 
 
+def _write_ckpt(path, key, pass_i, next_start, adjacency_dev, n):
+    """Atomic adjacency snapshot (temp file + rename)."""
+    adj_host = np.asarray(adjacency_dev[:n])
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, key=key, pass_i=np.int64(pass_i),
+                 next_start=np.int64(next_start), adjacency=adj_host)
+    os.replace(tmp, path)
+
+
+# Wave-progress heartbeat shared by every pass of a build (a per-pass
+# watchdog would false-trigger when its pass ends but the process
+# lives on in the next pass).
+_HEARTBEAT = {"t": 0.0}
+_WATCHDOG_ON = False
+
+
+def _arm_watchdog(stall_s: float):
+    """os._exit(17) if no wave completes for stall_s seconds. The axon
+    relay can wedge a dispatch forever with the TCP session still ESTAB
+    (observed r4: a 10M build silent 55+ min at wave 750, chip healthy
+    for new clients); exiting lets an outer retry loop resume from the
+    wave checkpoint instead of losing hours."""
+    global _WATCHDOG_ON
+    if _WATCHDOG_ON:
+        return
+    _WATCHDOG_ON = True
+    import threading
+    import time as _t
+
+    _HEARTBEAT["t"] = _t.time()
+
+    def _watch():
+        while True:
+            _t.sleep(min(30.0, stall_s / 4))
+            if _t.time() - _HEARTBEAT["t"] > stall_s:
+                print(f"[vamana] WATCHDOG: no wave progress in "
+                      f"{stall_s:.0f}s — exiting 17 for resume",
+                      file=sys.stderr, flush=True)
+                os._exit(17)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
 def build_vamana(
     vectors: np.ndarray,
     graph_degree: int = 32,
@@ -131,8 +180,20 @@ def build_vamana(
     seed: int = 0,
     verbose: bool = False,
     expansions: int = 2,
+    checkpoint_path: str = None,
+    checkpoint_every: int = 300,
 ) -> Tuple[np.ndarray, int]:
-    """Returns (adjacency [N, R] int32 sentinel=N padded, medoid)."""
+    """Returns (adjacency [N, R] int32 sentinel=N padded, medoid).
+
+    checkpoint_path: optional .npz the builder snapshots the adjacency
+    to every `checkpoint_every` waves (atomic rename). A multi-hour
+    build killed mid-pass (relay wedge, OOM, preemption) resumes from
+    the last snapshot instead of restarting: re-run with the same
+    arguments and the same path. The rng stream is replayed so the
+    wave permutations are identical; a config-key mismatch ignores the
+    snapshot. One wave's reverse edges may be lost per resume
+    (quality-neutral: those rows are re-pruned on every later touch).
+    """
     vectors = np.ascontiguousarray(vectors, dtype=np.float32)
     n, d = vectors.shape
     r = graph_degree
@@ -211,15 +272,55 @@ def build_vamana(
     # no recall loss (measured 0.9990 -> 1.0000 @ beam 32, 100k R=48)
     beams = [max(r + 8, (7 * L) // 10)] * (len(alphas) - 1) + [L]
 
+    # --- resume from a wave snapshot (see docstring) ---
+    ckpt_key = (f"n{n}|d{d}|r{r}|L{L}|p{passes}|s{seed}|e{expansions}|"
+                f"c{incoming_cap}|w{wave_size}|m{search_metric}")
+    resume_pass, resume_start = 0, 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        try:
+            with np.load(checkpoint_path) as z:
+                if str(z["key"]) == ckpt_key:
+                    resume_pass = int(z["pass_i"])
+                    resume_start = int(z["next_start"])
+                    adjacency = jnp.asarray(np.concatenate([
+                        np.asarray(z["adjacency"], np.int32),
+                        np.full((1, r), n, np.int32),
+                    ]))
+                    if verbose:
+                        print(f"[vamana] resume pass {resume_pass + 1} "
+                              f"wave {resume_start // wave_size + 1} "
+                              f"from {checkpoint_path}",
+                              file=sys.stderr, flush=True)
+                elif verbose:
+                    print(f"[vamana] checkpoint key mismatch "
+                          f"({z['key']} != {ckpt_key}); ignoring",
+                          file=sys.stderr, flush=True)
+        except Exception as exc:  # corrupt snapshot: rebuild from scratch
+            print(f"[vamana] unreadable checkpoint {checkpoint_path}: "
+                  f"{exc}; ignoring", file=sys.stderr, flush=True)
+
     for pass_i, (pass_alpha, pass_L) in enumerate(zip(alphas, beams)):
+        # always draw the permutation so the rng stream (and therefore
+        # every later pass's wave order) is identical across resumes
         order = rng.permutation(n)
-        adjacency = _insert_waves(
-            vectors, vecs_dev, sq_norms, adjacency, medoid_dev, order,
-            beam_width=pass_L, graph_degree=r, alpha=pass_alpha,
-            metric=search_metric, wave_size=wave_size,
-            incoming_cap=incoming_cap, max_iters=max_iters,
-            expansions=expansions, verbose=verbose,
-        )
+        if pass_i < resume_pass:
+            continue
+        start0 = resume_start if pass_i == resume_pass else 0
+        if start0 < len(order):
+            adjacency = _insert_waves(
+                vectors, vecs_dev, sq_norms, adjacency, medoid_dev, order,
+                beam_width=pass_L, graph_degree=r, alpha=pass_alpha,
+                metric=search_metric, wave_size=wave_size,
+                incoming_cap=incoming_cap, max_iters=max_iters,
+                expansions=expansions, verbose=verbose,
+                start0=start0, ckpt_path=checkpoint_path,
+                ckpt_every=checkpoint_every, ckpt_key=ckpt_key,
+                pass_i=pass_i,
+            )
+        if checkpoint_path and pass_i + 1 < len(alphas):
+            # pass boundary snapshot (includes ALL reverse edges)
+            _write_ckpt(checkpoint_path, ckpt_key, pass_i + 1, 0,
+                        adjacency, n)
         if verbose:
             # stderr like every other verbose print: stdout is reserved
             # for JSON result rows in the battery scripts (ADVICE r3)
@@ -294,12 +395,23 @@ def _insert_waves(
     max_iters: int,
     expansions: int = 2,
     verbose: bool = False,
+    start0: int = 0,
+    ckpt_path: str = None,
+    ckpt_every: int = 0,
+    ckpt_key: str = "",
+    pass_i: int = 0,
 ) -> jnp.ndarray:
-    import os
     import sys
     import time
 
     profile = bool(os.environ.get("LEANN_BUILD_PROFILE"))
+    stall_s = float(os.environ.get("LEANN_BUILD_STALL_S", "0") or 0)
+    if stall_s > 0:
+        _arm_watchdog(stall_s)
+    # test/ops hook: raise after K waves of this call (exercises the
+    # checkpoint/resume path hermetically)
+    abort_after = int(os.environ.get("LEANN_BUILD_ABORT_AFTER", "0") or 0)
+    waves_done = 0
     n_waves = -(-len(order) // wave_size)
     pass_t0 = time.time()
     n = vecs_dev.shape[0] - 1
@@ -394,7 +506,7 @@ def _insert_waves(
                     jnp.asarray(rows),
                 )
 
-    for start in range(0, len(order), wave_size):
+    for start in range(start0, len(order), wave_size):
         t0 = time.time()
         wave = order[start : start + wave_size]
         w = len(wave)
@@ -490,12 +602,31 @@ def _insert_waves(
             wave_i = start // wave_size + 1
             if wave_i % 50 == 0 or wave_i == n_waves:
                 el = time.time() - pass_t0
+                done_here = wave_i - start0 // wave_size
                 print(
                     f"[vamana] wave {wave_i}/{n_waves}  "
                     f"{el:.0f}s elapsed  "
-                    f"eta {el / wave_i * (n_waves - wave_i):.0f}s",
+                    f"eta {el / done_here * (n_waves - wave_i):.0f}s",
                     file=sys.stderr, flush=True,
                 )
+        _HEARTBEAT["t"] = time.time()
+        waves_done += 1
+        wave_i = start // wave_size + 1
+        if (ckpt_path and ckpt_every and wave_i % ckpt_every == 0
+                and wave_i < n_waves):
+            t_ck = time.time()
+            # adjacency here holds all forward rows <= this wave and
+            # reverse edges <= the previous wave; next_start skips this
+            # wave, losing only its reverse edges on a resume
+            _write_ckpt(ckpt_path, ckpt_key, pass_i, start + wave_size,
+                        adjacency, n)
+            _HEARTBEAT["t"] = time.time()
+            if verbose or profile:
+                print(f"[vamana] checkpoint @ wave {wave_i} "
+                      f"({time.time() - t_ck:.1f}s)",
+                      file=sys.stderr, flush=True)
+        if abort_after and waves_done >= abort_after:
+            raise BuildAborted(f"LEANN_BUILD_ABORT_AFTER={abort_after}")
     if pending is not None:
         apply_pending(pending)
     if verbose or profile:

@@ -1,6 +1,8 @@
 """Graph engine tests: frontier-batched beam search + Vamana build,
 validated against the exact-search oracle (recall@k)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -135,6 +137,45 @@ def test_vamana_build_recall(metric):
     _, oracle = exact_topk(queries, x, 10, metric=metric)
     rec = recall_at_k(idx, oracle, 10)
     assert rec >= 0.85, f"vamana recall@10 = {rec} ({metric})"
+
+
+def test_vamana_checkpoint_resume(tmp_path, monkeypatch):
+    """A build killed mid-pass resumes from its wave snapshot and still
+    produces a searchable graph (the relay-wedge recovery path)."""
+    from leann_tpu.ops.vamana import BuildAborted
+
+    x = make_corpus(n=1500, d=24, seed=4)
+    ckpt = str(tmp_path / "build.ckpt")
+    kwargs = dict(graph_degree=24, complexity=48, alpha=1.2, metric="l2",
+                  wave_size=256, seed=0, checkpoint_path=ckpt,
+                  checkpoint_every=2)
+    # 6 waves per pass; die at wave 3 of pass 1 (snapshot taken @ wave 2)
+    monkeypatch.setenv("LEANN_BUILD_ABORT_AFTER", "3")
+    with pytest.raises(BuildAborted):
+        build_vamana(x, **kwargs)
+    assert os.path.exists(ckpt)
+    monkeypatch.delenv("LEANN_BUILD_ABORT_AFTER")
+
+    adjacency, medoid = build_vamana(x, **kwargs)  # resumes
+    assert adjacency.shape == (1500, 24)
+    assert (adjacency == np.arange(1500)[:, None]).sum() == 0
+
+    engine = BeamSearchEngine(x, adjacency, medoid, metric="l2")
+    rng = np.random.default_rng(5)
+    queries = x[rng.integers(0, 1500, 32)] + 0.01 * rng.standard_normal(
+        (32, 24)
+    ).astype(np.float32)
+    idx, _ = engine.search(queries, k=10, beam_width=64)
+    _, oracle = exact_topk(queries, x, 10, metric="l2")
+    rec = recall_at_k(idx, oracle, 10)
+    assert rec >= 0.85, f"resumed-build recall@10 = {rec}"
+
+    # stale snapshot with a different config key is ignored, not loaded
+    adjacency2, _ = build_vamana(
+        x, graph_degree=24, complexity=48, alpha=1.2, metric="l2",
+        wave_size=256, seed=1, checkpoint_path=ckpt, checkpoint_every=2,
+    )
+    assert adjacency2.shape == (1500, 24)
 
 
 def test_vamana_degree_bound_and_sentinel_padding():
