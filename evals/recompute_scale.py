@@ -53,6 +53,9 @@ VISITED = tuple(
 # encoder calls regardless of R.
 GRAPH_R = int(os.environ.get("RS_R", 32))
 GRAPH_L = int(os.environ.get("RS_L", 48))
+# single-pass graph for the 1M row: at d=768 the build is the step's
+# wall-clock ceiling and the serve-time beam is the recall lever here
+GRAPH_PASSES = int(os.environ.get("RS_PASSES", 2))
 
 
 def log(m):
@@ -89,7 +92,8 @@ def main():
     t0 = time.time()
     adjacency, medoid = build_vamana(
         vectors, graph_degree=GRAPH_R, complexity=GRAPH_L, metric="ip",
-        wave_size=8192,
+        wave_size=8192, passes=GRAPH_PASSES,
+        checkpoint_path=os.environ.get("RS_CKPT") or None,
     )
     log(f"graph build: {time.time() - t0:.1f}s")
 
