@@ -211,6 +211,13 @@ def build_vamana(
 
     import time as _time
 
+    # the relay can wedge ANY dispatch (observed r4: once mid-waves,
+    # once at the medoid right after a clean 3.8GB upload) — arm the
+    # stall watchdog for the whole build, not just the wave loop
+    stall_s = float(os.environ.get("LEANN_BUILD_STALL_S", "0") or 0)
+    if stall_s > 0:
+        _arm_watchdog(stall_s)
+
     # --- device-resident state (upload FIRST: the medoid used to go
     # through exact_topk, whose own jnp.asarray re-uploaded the whole
     # corpus over the relay — 1077s of the 10M build was that double
@@ -223,6 +230,7 @@ def build_vamana(
     # host for a reduction was pure relay waste
     sq_norms = jnp.sum(vecs_dev * vecs_dev, axis=1)
     jax.block_until_ready(sq_norms)
+    _HEARTBEAT["t"] = _time.time()
     if verbose:
         print(f"[vamana] corpus upload+norms {_time.time() - t_up:.1f}s",
               file=sys.stderr, flush=True)
@@ -235,6 +243,7 @@ def build_vamana(
     dots = vecs_dev @ mean_dev                                     # [N+1]
     neg_d2 = 2.0 * dots - sq_norms
     medoid = int(jnp.argmax(neg_d2.at[n].set(-jnp.inf)))
+    _HEARTBEAT["t"] = _time.time()
     if verbose:
         print(f"[vamana] medoid {_time.time() - t_med:.1f}s",
               file=sys.stderr, flush=True)
