@@ -18,8 +18,23 @@ if [ -n "${WAIT_PID:-}" ]; then
   echo "queue3 gone; starting $(date -u +%H:%M:%S)" >&2
 fi
 
+# hard deadline: the round driver runs bench.py on the chip after the
+# session's turns end — nothing of ours may still hold the chip then.
+# Steps are skipped once past DEADLINE_EPOCH and each step's timeout is
+# clamped to the time remaining.
+DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
+
 run() { # name, timeout_s, cmd...
   local name=$1 t=$2; shift 2
+  if [ "$DEADLINE_EPOCH" -gt 0 ]; then
+    local now rem
+    now=$(date +%s); rem=$((DEADLINE_EPOCH - now))
+    if [ "$rem" -lt 120 ]; then
+      echo "=== $name SKIPPED (past deadline) $(date -u +%H:%M:%S)" >&2
+      return
+    fi
+    [ "$t" -gt "$rem" ] && t=$rem
+  fi
   echo "=== $name $(date -u +%H:%M:%S) ===" >&2
   if timeout "$t" "$@" >>"$OUT" 2>"$LOGS/$name.log"; then
     echo "--- $name OK $(date -u +%H:%M:%S)" >&2
@@ -44,8 +59,14 @@ run recompute_100k 5400 \
 # encoder inside the traversal, single-pass R48 graph. Watchdog exits
 # 17 on a relay wedge; retry resumes the graph build from checkpoint.
 for attempt in 1 2; do
+  T=12600
+  if [ "$DEADLINE_EPOCH" -gt 0 ]; then
+    REM=$(( DEADLINE_EPOCH - $(date +%s) ))
+    [ "$REM" -lt 120 ] && { echo "=== recompute_1m SKIPPED (deadline)" >&2; break; }
+    [ "$T" -gt "$REM" ] && T=$REM
+  fi
   echo "=== recompute_1m attempt $attempt $(date -u +%H:%M:%S) ===" >&2
-  if timeout 12600 \
+  if timeout "$T" \
     env RS_N=1000000 RS_R=48 RS_L=96 RS_PASSES=1 RS_BEAMS=96 \
         RS_VISITED=512 RS_CKPT=evals/artifacts/recompute_1m.ckpt \
         LEANN_BUILD_STALL_S=900 \
