@@ -107,17 +107,40 @@ class PassageStore:
         off = self.offsets.get(pid)
         if off is None:
             return None
-        self._f.seek(off)
-        line = self._f.readline().decode("utf-8")
-        return Passage.from_json(line)
+        return Passage.from_json(self._read_line_at(off).decode("utf-8"))
+
+    def _read_line_at(self, off: int) -> bytes:
+        # Positional pread, NOT seek+readline: the store is shared by
+        # every ThreadingHTTPServer handler thread, and interleaved
+        # seek()/readline() on one file object serves garbled JSON
+        # under concurrency (found by evals/hybrid_latency.py: ~15
+        # malformed-passage 500s in a 20s window at 32 clients).
+        # pread is atomic w.r.t. the fd offset, so no lock is needed.
+        fd = self._f.fileno()
+        chunks = []
+        pos = off
+        while True:
+            buf = os.pread(fd, 1 << 16, pos)
+            if not buf:
+                break
+            nl = buf.find(b"\n")
+            if nl >= 0:
+                chunks.append(buf[:nl])
+                break
+            chunks.append(buf)
+            pos += len(buf)
+        return b"".join(chunks)
 
     def iter_all(self) -> Iterator[Passage]:
-        """Sequential scan in file order (fast path for BM25/recompute)."""
-        self._f.seek(0)
-        for line in self._f:
-            line = line.strip()
-            if line:
-                yield Passage.from_json(line.decode("utf-8"))
+        """Sequential scan in file order (fast path for BM25/recompute).
+
+        Uses its own file handle so a concurrent scan (BM25 sidecar
+        rebuild, reindex) never perturbs get() readers."""
+        with open(passages_path(self.base), "rb") as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    yield Passage.from_json(line.decode("utf-8"))
 
     def close(self) -> None:
         self._f.close()

@@ -170,3 +170,45 @@ def test_load_searcher_raises_on_foreign_index(tmp_path):
     meta = IndexMeta(backend_name="hnsw", dimensions=8)
     with pytest.raises(RuntimeError, match="FAISS"):
         load_searcher(base, meta)
+
+
+def test_passage_store_concurrent_get(tmp_index_base):
+    """Regression: get() must be thread-safe. The old seek()+readline()
+    on the shared file object interleaved under ThreadingHTTPServer and
+    served garbled JSON (hybrid_latency at 32 clients: malformed-passage
+    500s); the pread path has no shared cursor."""
+    import threading
+
+    with PassageStoreWriter(tmp_index_base) as w:
+        for i in range(200):
+            w.add(Passage(f"p{i}", f"text-{i} " + "x" * (i % 97),
+                          {"n": i}))
+    store = PassageStore(tmp_index_base)
+    errors = []
+
+    def reader(seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(300):
+            i = int(rng.integers(0, 200))
+            p = store.get(f"p{i}")
+            if p is None or p.metadata.get("n") != i \
+                    or not p.text.startswith(f"text-{i} "):
+                errors.append((seed, i))
+
+    threads = [threading.Thread(target=reader, args=(s,)) for s in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+
+def test_passage_iter_all_does_not_disturb_get(tmp_index_base):
+    with PassageStoreWriter(tmp_index_base) as w:
+        for i in range(20):
+            w.add(Passage(f"p{i}", f"t{i}"))
+    store = PassageStore(tmp_index_base)
+    it = store.iter_all()
+    next(it)
+    assert store.get("p7").text == "t7"
+    assert next(it).id == "p1"
