@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -34,6 +34,11 @@ class SearchOptions:
     hybrid: bool = False
     hybrid_alpha: float = 0.7  # weight on vector scores (reference searcher.rs:47)
     query_text: Optional[str] = None  # needed for hybrid / expansion
+    # Batched hybrid: one text PER ROW of the query batch, so many
+    # hybrid requests can share a single device dispatch (the BM25
+    # rescore is host-side and per-row anyway). Falls back to
+    # query_text for every row when absent.
+    query_texts: Optional[Sequence[str]] = None
     expand: bool = False
 
 
@@ -143,8 +148,14 @@ class IndexSearcher:
                 for i, s in zip(idx[row], scores[row])
                 if i >= 0
             ]
-            if options.hybrid and options.query_text:
-                pairs = self._hybrid(pairs, options)
+            if options.hybrid:
+                text = (
+                    options.query_texts[row]
+                    if options.query_texts is not None
+                    else options.query_text
+                )
+                if text:
+                    pairs = self._hybrid(pairs, options, text)
             hydrated: List[SearchResult] = []
             for int_id, score in pairs:
                 res = self._hydrate(int_id, score)
@@ -167,15 +178,15 @@ class IndexSearcher:
 
     # ---------------- helpers ----------------
 
-    def _hybrid(self, pairs, options: SearchOptions):
+    def _hybrid(self, pairs, options: SearchOptions, text: str):
         scorer = self.bm25()
         if scorer is None:
             return pairs
-        bm25_scores = scorer.score_query(options.query_text or "")
+        bm25_scores = scorer.score_query(text)
         # Union in BM25 top hits not found by the vector path, with vector
         # score 0.0 (reference searcher.rs:154-165).
         have = {i for i, _ in pairs}
-        for int_id, _ in scorer.search(options.query_text or "", options.top_k):
+        for int_id, _ in scorer.search(text, options.top_k):
             if int_id not in have:
                 pairs.append((int_id, 0.0))
         return hybrid_rerank(pairs, bm25_scores, options.hybrid_alpha)

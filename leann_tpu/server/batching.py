@@ -46,10 +46,14 @@ def _options_key(o: SearchOptions) -> Tuple:
         # wrapper's default object repr (memory address), which would
         # make identical filters never share a batch group
         filt = repr(getattr(o.filter, "node", o.filter.source))
-    key = (o.top_k, o.complexity, o.hybrid, o.hybrid_alpha, filt, o.expand)
-    if o.hybrid:
-        key = key + (o.query_text,)
-    return key
+    # NOTE: query_text deliberately NOT in the key. Hybrid requests
+    # share the vector-search dispatch (the expensive, batched part);
+    # the per-text BM25 rescore is host-side and handled per row via
+    # SearchOptions.query_texts. Keying on the text made every hybrid
+    # request a singleton group = its own device dispatch, which
+    # saturated the chip's dispatch pipeline and inflated p50 for ALL
+    # traffic (hybrid_latency at 32 clients: ~900ms p50, ~36 QPS).
+    return (o.top_k, o.complexity, o.hybrid, o.hybrid_alpha, filt, o.expand)
 
 
 class MicroBatcher:
@@ -173,6 +177,13 @@ class MicroBatcher:
             groups.setdefault(p.key, []).append(i)
         for idxs in groups.values():
             opts = batch[idxs[0]].options
+            if opts.hybrid:
+                from dataclasses import replace
+
+                opts = replace(opts, query_texts=[
+                    batch[i].options.query_text or batch[i].query
+                    for i in idxs
+                ])
             try:
                 rows = self.searcher.search(qvecs[idxs], opts)
             except BaseException as e:

@@ -412,3 +412,52 @@ def test_microbatch_flush_pipeline_overlaps(tmp_index_base):
         assert getattr(slow, "peak", 1) >= 2
     finally:
         batcher.close()
+
+
+def test_microbatch_hybrid_shares_one_dispatch(tmp_index_base):
+    """Regression: hybrid requests must share the vector-search device
+    dispatch (query_text used to be part of the group key, making every
+    hybrid request a singleton group — hybrid_latency measured ~900ms
+    p50 at 32 clients from the resulting dispatch serialization), while
+    each row still gets ITS OWN BM25 rescore via query_texts."""
+    from leann_tpu.server.batching import MicroBatcher
+    from leann_tpu.index.searcher import SearchOptions
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = [f"word{i} unique{i} topic" for i in range(12)]
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        builder.add(f"t{i}", t, v, {"n": i})
+    builder.build()
+    counting = _CountingSearcher(IndexSearcher.load(tmp_index_base))
+    batcher = MicroBatcher(counting, provider, None,
+                           max_batch=16, window_ms=60.0)
+    try:
+        results = [None] * 6
+        errors = []
+
+        def worker(i):
+            try:
+                results[i] = batcher.submit(
+                    texts[i],
+                    SearchOptions(top_k=3, hybrid=True, query_text=texts[i]),
+                    timeout=30,
+                )
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors
+        # all 6 hybrid requests shared very few device dispatches
+        assert len(counting.calls) <= 2
+        assert sum(counting.calls) == 6
+        # and each caller's own text drove its result
+        for i, rows in enumerate(results):
+            assert rows is not None and rows[0].id == f"t{i}"
+    finally:
+        batcher.close()
