@@ -36,9 +36,11 @@ class SearchOptions:
     query_text: Optional[str] = None  # needed for hybrid / expansion
     # Batched hybrid: one text PER ROW of the query batch, so many
     # hybrid requests can share a single device dispatch (the BM25
-    # rescore is host-side and per-row anyway). Falls back to
-    # query_text for every row when absent.
-    query_texts: Optional[Sequence[str]] = None
+    # rescore is host-side and per-row anyway). A None row means "no
+    # hybrid rescore for this row", letting plain and hybrid requests
+    # share one dispatch too. Falls back to query_text for every row
+    # when absent.
+    query_texts: Optional[Sequence[Optional[str]]] = None
     expand: bool = False
 
 
@@ -184,11 +186,18 @@ class IndexSearcher:
             return pairs
         bm25_scores = scorer.score_query(text)
         # Union in BM25 top hits not found by the vector path, with vector
-        # score 0.0 (reference searcher.rs:154-165).
+        # score 0.0 (reference searcher.rs:154-165). Top-k comes from the
+        # scores we already computed — calling scorer.search() here would
+        # re-score every posting a second time (~2x the per-row hybrid
+        # cost at serving time).
         have = {i for i, _ in pairs}
-        for int_id, _ in scorer.search(text, options.top_k):
-            if int_id not in have:
-                pairs.append((int_id, 0.0))
+        nz = np.flatnonzero(bm25_scores > 0.0)
+        if nz.size > options.top_k:
+            nz = nz[np.argpartition(-bm25_scores[nz], options.top_k - 1)[
+                :options.top_k]]
+        for int_id in nz:
+            if int(int_id) not in have:
+                pairs.append((int(int_id), 0.0))
         return hybrid_rerank(pairs, bm25_scores, options.hybrid_alpha)
 
     def _hydrate(self, int_id: int, score: float) -> Optional[SearchResult]:

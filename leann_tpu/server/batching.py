@@ -10,9 +10,11 @@ reference has the same shape: one embed + one search per request,
 waiting), embeds all pending query texts in ONE provider call, runs ONE
 engine search per options-group, and hands each caller its own rows.
 
-Requests group by their search options; `query_text` participates in the
-key only for hybrid requests (hybrid rescoring is per-text). The common
-case — plain vector search with default knobs — lands in a single group.
+Requests group by the parts of their search options that change the
+DEVICE program (top_k, complexity, filter); plain and hybrid requests
+with matching knobs share one group — hybrid rescoring is host-side and
+per-row (`SearchOptions.query_texts`). A production mix of plain +
+hybrid traffic therefore costs one device dispatch per flush.
 """
 
 from __future__ import annotations
@@ -46,14 +48,15 @@ def _options_key(o: SearchOptions) -> Tuple:
         # wrapper's default object repr (memory address), which would
         # make identical filters never share a batch group
         filt = repr(getattr(o.filter, "node", o.filter.source))
-    # NOTE: query_text deliberately NOT in the key. Hybrid requests
-    # share the vector-search dispatch (the expensive, batched part);
-    # the per-text BM25 rescore is host-side and handled per row via
-    # SearchOptions.query_texts. Keying on the text made every hybrid
-    # request a singleton group = its own device dispatch, which
-    # saturated the chip's dispatch pipeline and inflated p50 for ALL
-    # traffic (hybrid_latency at 32 clients: ~900ms p50, ~36 QPS).
-    return (o.top_k, o.complexity, o.hybrid, o.hybrid_alpha, filt, o.expand)
+    # NOTE: neither query_text nor the hybrid flag is in the key. The
+    # device dispatch (the expensive part: ~90ms relay latency per
+    # trip at any B) is identical for plain and hybrid requests — only
+    # the host-side BM25 rescore differs, and that is per-row via
+    # SearchOptions.query_texts (None row = plain). Keying on
+    # text/hybrid made every mix (and every hybrid text) its own
+    # device dispatch, which serialized flushes and held the whole
+    # 32-client run at ~900ms p50 / ~36 QPS.
+    return (o.top_k, o.complexity, o.hybrid_alpha, filt, o.expand)
 
 
 class MicroBatcher:
@@ -177,13 +180,15 @@ class MicroBatcher:
             groups.setdefault(p.key, []).append(i)
         for idxs in groups.values():
             opts = batch[idxs[0]].options
-            if opts.hybrid:
+            texts = [
+                (batch[i].options.query_text or batch[i].query)
+                if batch[i].options.hybrid else None
+                for i in idxs
+            ]
+            if any(t is not None for t in texts):
                 from dataclasses import replace
 
-                opts = replace(opts, query_texts=[
-                    batch[i].options.query_text or batch[i].query
-                    for i in idxs
-                ])
+                opts = replace(opts, hybrid=True, query_texts=texts)
             try:
                 rows = self.searcher.search(qvecs[idxs], opts)
             except BaseException as e:

@@ -461,3 +461,55 @@ def test_microbatch_hybrid_shares_one_dispatch(tmp_index_base):
             assert rows is not None and rows[0].id == f"t{i}"
     finally:
         batcher.close()
+
+
+def test_microbatch_plain_and_hybrid_share_group(tmp_index_base):
+    """Plain and hybrid requests differ only in host-side rescoring, so
+    they must land in the same batch group (one device dispatch); the
+    hybrid rows get their BM25 rescore, the plain rows must not."""
+    from leann_tpu.server.batching import MicroBatcher, _options_key
+    from leann_tpu.index.searcher import SearchOptions
+
+    assert _options_key(SearchOptions(top_k=3)) == _options_key(
+        SearchOptions(top_k=3, hybrid=True, query_text="anything"))
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = [f"word{i} unique{i} topic" for i in range(12)]
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        builder.add(f"t{i}", t, v, {"n": i})
+    builder.build()
+    counting = _CountingSearcher(IndexSearcher.load(tmp_index_base))
+    batcher = MicroBatcher(counting, provider, None,
+                           max_batch=16, window_ms=60.0)
+    try:
+        results = [None] * 6
+        errors = []
+
+        def worker(i):
+            hybrid = i % 2 == 0
+            opts = SearchOptions(
+                top_k=3, hybrid=hybrid,
+                query_text=texts[i] if hybrid else None)
+            try:
+                results[i] = batcher.submit(texts[i], opts, timeout=30)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert not errors
+        # plain + hybrid coalesced into very few dispatches
+        assert len(counting.calls) <= 2
+        assert sum(counting.calls) == 6
+        for i, rows in enumerate(results):
+            assert rows is not None and rows[0].id == f"t{i}"
+            if i % 2 == 0:
+                # hybrid rows carry blended [0,1] scores
+                assert 0.0 <= rows[0].score <= 1.0 + 1e-6
+    finally:
+        batcher.close()
