@@ -21,12 +21,17 @@ position), so no second corpus copy exists.
                        + ids 0.52GB + scale(bf16) 0.26GB
                        + |x|^2 (f32) 0.52GB + centroids  ~= 13.9GB
 
-Score algebra (l2, negated-distance convention): x ~= s * c8 with
-per-row scale s, so 2<q,x> - |x|^2 ~= 2*s*<q,c8> - nsq with nsq stored
-exactly (f32, from the f32 row at pack time) — the scan's only error
-is the int8 product (~0.4% relative), the same order as the bf16
-engine's scan error, and the f32-dequant rescore removes it from the
-final top-k.
+Quantization is RESIDUAL: each row stores int8 of (x - centroid) with
+a per-row scale, and scoring adds the centroid term back
+(x ~= c + s*r8). Quantizing raw vectors spends the 8 bits on the
+corpus' global radius; residuals only span the cluster radius (~3.8x
+smaller scale on the 1M bench mixture), which is the difference
+between recall@10 0.877 and 0.959 vs the f32 oracle — measured by
+exact full-scan host replication, r4 (the raw-int8 hardware rows:
+ivf8 1M 0.8765, ivf8 10M 0.8361). |x|^2 is stored exactly (f32, from
+the f32 row at pack time), so l2 scores are
+2(<q,c> + s<q,r8>) - nsq; the dequant "rescore" reranks the top-C
+from the same payload at f32 dot precision.
 
 The reference backend holds one f32 HNSW in RAM
 (/root/reference/src/backend/hnsw.rs:112-120) and has no quantized or
@@ -84,9 +89,10 @@ def pack_int8_buckets(
         bucket_cent[row] = centers[c]
         if len(ids):
             v = vectors[ids]
-            s = np.maximum(np.abs(v).max(axis=1), 1e-12).astype(np.float32)
+            r = v - centers[c][None, :]
+            s = np.maximum(np.abs(r).max(axis=1), 1e-12).astype(np.float32)
             payload[row, :len(ids)] = np.clip(
-                np.round(v / s[:, None] * 127.0), -127, 127
+                np.round(r / s[:, None] * 127.0), -127, 127
             ).astype(np.int8)
             scale[row, :len(ids)] = s / 127.0
             nsq[row, :len(ids)] = np.einsum(
@@ -220,7 +226,8 @@ class IvfInt8Engine:
         pos = pos_of[idx]
         pay = np.asarray(self.payload).reshape(-1, self.d)[pos]
         sc = np.asarray(self.scale).reshape(-1)[pos]
-        base = pay.astype(np.float32) * sc[:, None]
+        cent = np.asarray(self.bucket_cent)[pos // self.cap]
+        base = cent + pay.astype(np.float32) * sc[:, None]
         return calibrate_nprobe_ladder(
             self, base, idx, target_recall=target_recall, k=k,
             ladder=ladder, seed=seed)
@@ -254,11 +261,15 @@ def _ivf8_search_jit(
         cluster = probe[:, p]                                # [B]
         ids = bucket_ids[cluster]                            # [B, cap]
         rows = payload[cluster].astype(jnp.bfloat16)         # [B, cap, D]
-        dots = jnp.einsum(
+        rdots = jnp.einsum(
             "bcd,bd->bc", rows, q_bf,
             preferred_element_type=jnp.float32,
         )
-        dots = dots * scale[cluster]
+        # residual payload: x = c + s*r8, so <q,x> = <q,c> + s<q,r8>
+        cdot = jnp.einsum(
+            "bd,bd->b", bucket_cent[cluster], queries,
+            preferred_element_type=jnp.float32)
+        dots = cdot[:, None] + rdots * scale[cluster]
         if metric == "l2":
             scores = 2.0 * dots - nsq[cluster]
         else:
@@ -275,11 +286,12 @@ def _ivf8_search_jit(
     (cand_scores, cand_pos), _ = jax.lax.scan(
         step, init, jnp.arange(nprobe))
 
-    # exact rescore from the packed payload (f32 dequant), no second
-    # corpus copy; invalid positions stay NEG_INF
+    # exact rescore from the packed payload (f32 dequant + centroid
+    # add-back), no second corpus copy; invalid positions stay NEG_INF
     gpos = jnp.maximum(cand_pos, 0)
     rows = payload.reshape(-1, d)[gpos].astype(jnp.float32)  # [B, C, D]
     rows = rows * scale.reshape(-1)[gpos][:, :, None]
+    rows = rows + bucket_cent[gpos // cap]
     dots = jnp.einsum(
         "bcd,bd->bc", rows, queries,
         preferred_element_type=jnp.float32,

@@ -74,8 +74,13 @@ def test_ivf8_pack_roundtrip():
     valid = flat_ids != n
     # every row packed exactly once
     assert np.sort(flat_ids[valid]).tolist() == list(range(n))
-    # dequantized payload reconstructs rows within int8 error
-    deq = payload.reshape(-1, 16)[valid].astype(np.float32) \
+    # dequantized payload reconstructs rows within int8 error; the
+    # payload is the RESIDUAL vs the bucket centroid, so add it back.
+    # Residual scale spans the cluster radius, so the absolute error
+    # is much tighter than raw-int8's corpus-radius quantization.
+    cap = ids.shape[1]
+    cent_of = cent[np.flatnonzero(valid) // cap]
+    deq = cent_of + payload.reshape(-1, 16)[valid].astype(np.float32) \
         * scale.reshape(-1)[valid][:, None]
     np.testing.assert_allclose(deq, x[flat_ids[valid]], atol=0.06)
     # nsq is the exact f32 squared norm
