@@ -471,12 +471,36 @@ def beam_search_recompute_batch(
     from leann_tpu.models.bert import bert_forward
 
     n_sentinel = token_ids.shape[0] - 1
+    # Per-hop encoder forwards are chunked: at beam 64+ a single hop
+    # embeds B*R (= 256*48 ~ 12k) sequences at once, and the unchunked
+    # forward's live set (QKV + attention + MLP intermediate, bf16)
+    # approaches the v5e's 16GB HBM — the 100k battery step crashed
+    # the TPU worker twice exactly there (r4). Chunks of ~4k sequences
+    # keep matmuls MXU-sized while bounding the transient.
+    chunk_target = int(os.environ.get("LEANN_RECOMPUTE_CHUNK", 4096))
+
+    def _encode(toks, mask):
+        rows = toks.shape[0]
+        if rows <= chunk_target:
+            return bert_forward(bert_params, toks, mask, config)
+        n_chunks = -(-rows // chunk_target)
+        chunk = -(-rows // n_chunks)
+        pad = n_chunks * chunk - rows
+        if pad:
+            toks = jnp.pad(toks, ((0, pad), (0, 0)))
+            mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        toks = toks.reshape(n_chunks, chunk, -1)
+        mask = mask.reshape(n_chunks, chunk, -1)
+        emb = jax.lax.map(
+            lambda tm: bert_forward(bert_params, tm[0], tm[1], config),
+            (toks, mask))
+        return emb.reshape(n_chunks * chunk, -1)[:rows]
 
     def score_fn(q, ids):
         b, k = ids.shape
         toks = token_ids[ids].reshape(b * k, -1)
         mask = attn_mask[ids].reshape(b * k, -1)
-        emb = bert_forward(bert_params, toks, mask, config)     # [B*K, D]
+        emb = _encode(toks, mask)                               # [B*K, D]
         emb = emb.reshape(b, k, -1)
         dots = jnp.einsum(
             "bkd,bd->bk", emb, q, preferred_element_type=jnp.float32
