@@ -132,9 +132,15 @@ class IndexSearcher:
     ) -> List[List[SearchResult]]:
         from leann_tpu.utils import span
 
-        needs_overfetch = options.filter is not None or options.hybrid
-        fetch_k = options.top_k * 5 if needs_overfetch else options.top_k
-        fetch_k = min(fetch_k, len(self.ids))
+        # Always overfetch: top-(5k) vs top-k is free on the device
+        # (one top_k over the same scan/traversal), while conditioning
+        # fetch_k on filter/hybrid doubles the compiled-program lattice
+        # — a serving flush whose group contains one hybrid row would
+        # use a different device program than a plain-only flush of the
+        # same batch bucket, and each first encounter is a multi-second
+        # XLA compile mid-traffic (the 12s p95 spikes in the r4
+        # hybrid_latency rows). Plain results just truncate to top_k.
+        fetch_k = min(options.top_k * 5, len(self.ids))
         if fetch_k == 0:
             return [[] for _ in range(q.shape[0])]
 

@@ -63,12 +63,14 @@ def tpu_compiler_options():
     The PQ traversal kernel's unrolled per-subspace ADC contraction
     needs ~55MB of Mosaic stack temporaries at qb=16 — over the 16MB
     default scoped-vmem limit (v5e VMEM is 128MB, so the headroom is
-    real; first-hardware-compile OOM, round 4). Raising the limit is a
-    TPU-only debug option: CPU/GPU compiles reject the unknown flag, so
-    return None there."""
+    real; first-hardware-compile OOM, round 4). The residual (two-level
+    coarse+fine) ADC variant needs 68.9MB, over the first 64MB raise —
+    80MB covers both with headroom while leaving 48MB for block
+    buffers. Raising the limit is a TPU-only debug option: CPU/GPU
+    compiles reject the unknown flag, so return None there."""
     if not pallas_available():
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": 65536}
+    return {"xla_tpu_scoped_vmem_limit_kib": 81920}
 
 
 def lazy_tpu_jit(fn, **jit_kwargs):

@@ -96,7 +96,11 @@ def _sharded_flat_topk(queries, vectors, k, metric, mesh, valid_n, rows_per_shar
         scores = pairwise_scores(q, v, metric)                 # [b, rows]
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
         scores = jnp.where(col < valid_n, scores, NEG_INF)
-        local_scores, local_pos = jax.lax.top_k(scores, k)
+        # k can exceed a shard's local row count (tiny corpora, or
+        # overfetched serving k); each shard contributes what it has
+        # and the cross-shard merge still sees k_local * n_shards rows
+        k_local = min(k, scores.shape[1])
+        local_scores, local_pos = jax.lax.top_k(scores, k_local)
         local_idx = jnp.take_along_axis(col, local_pos, axis=1)
         # combine across shards: one all_gather of [b, k] over ICI
         all_scores = jax.lax.all_gather(local_scores, "shard", axis=1)

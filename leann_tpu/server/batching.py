@@ -19,6 +19,7 @@ hybrid traffic therefore costs one device dispatch per flush.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass, field
@@ -164,6 +165,9 @@ class MicroBatcher:
             return batch
 
     def _flush(self, batch: List[_Pending]) -> None:
+        from leann_tpu.utils import METRICS
+
+        t0 = time.perf_counter()
         try:
             qvecs = self.provider.embed_with_template(
                 [p.query for p in batch], self.query_template
@@ -174,6 +178,7 @@ class MicroBatcher:
                 p.error = e
                 p.done.set()
             return
+        t1 = time.perf_counter()
 
         groups: dict = {}
         for i, p in enumerate(batch):
@@ -189,6 +194,7 @@ class MicroBatcher:
                 from dataclasses import replace
 
                 opts = replace(opts, hybrid=True, query_texts=texts)
+            tg = time.perf_counter()
             try:
                 rows = self.searcher.search(qvecs[idxs], opts)
             except BaseException as e:
@@ -196,6 +202,23 @@ class MicroBatcher:
                     batch[i].error = e
                     batch[i].done.set()
                 continue
+            METRICS.observe("batch.group_ms",
+                            (time.perf_counter() - tg) * 1e3)
             for row, i in zip(rows, idxs):
                 batch[i].results = row
                 batch[i].done.set()
+        METRICS.inc("batch.flushes")
+        METRICS.inc("batch.rows", len(batch))
+        METRICS.observe("batch.flush_size", len(batch))
+        METRICS.observe("batch.groups_per_flush", len(groups))
+        METRICS.observe("batch.embed_ms", (t1 - t0) * 1e3)
+        METRICS.observe("batch.flush_ms", (time.perf_counter() - t0) * 1e3)
+        if os.environ.get("LEANN_BATCH_DEBUG"):
+            import sys
+
+            print(
+                f"[batch] size={len(batch)} groups={len(groups)} "
+                f"embed={1e3 * (t1 - t0):.1f}ms "
+                f"total={1e3 * (time.perf_counter() - t0):.1f}ms",
+                file=sys.stderr, flush=True,
+            )
