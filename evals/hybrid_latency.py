@@ -215,8 +215,11 @@ def main():
         server = serve(state, port=args.port)
         st = threading.Thread(target=server.serve_forever, daemon=True)
         st.start()
-        # warm the server path
-        drive(args.port, clients=2, duration=2.0, seed=7)
+        # warm the server path at the REAL concurrency: flush sizes are
+        # pow-2 bucketed, and a 2-client warmup only compiles buckets
+        # 1-2 — the 16/32 buckets then compile mid-measurement (the 12s
+        # p95 spikes in the first retry row)
+        drive(args.port, clients=args.clients, duration=6.0, seed=7)
         lats, errs = drive(args.port, args.clients, args.duration)
         total = sum(len(v) for v in lats.values())
         for mix, vals in lats.items():
