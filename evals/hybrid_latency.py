@@ -215,11 +215,13 @@ def main():
         server = serve(state, port=args.port)
         st = threading.Thread(target=server.serve_forever, daemon=True)
         st.start()
-        # warm the server path at the REAL concurrency: flush sizes are
-        # pow-2 bucketed, and a 2-client warmup only compiles buckets
-        # 1-2 — the 16/32 buckets then compile mid-measurement (the 12s
-        # p95 spikes in the first retry row)
-        drive(args.port, clients=args.clients, duration=6.0, seed=7)
+        # deterministic program-lattice warmup (every pow-2 bucket
+        # compiles up front; a traffic-shaped warmup only compiles the
+        # buckets it happens to hit — the 12s p95 spikes in the first
+        # two retry rows were first-encounter compiles mid-measurement)
+        state.warm()
+        # then a short drive to warm the host path (BM25, hydrate)
+        drive(args.port, clients=args.clients, duration=3.0, seed=7)
         lats, errs = drive(args.port, args.clients, args.duration)
         total = sum(len(v) for v in lats.values())
         for mix, vals in lats.items():

@@ -69,6 +69,11 @@ def add_parser(sub):
                    help="Micro-batch size cap for coalesced requests")
     p.add_argument("--batch-window-ms", type=float, default=2.0,
                    help="How long to hold a request waiting for batchmates")
+    p.add_argument("--warm", action="store_true",
+                   help="Precompile the serving program lattice (one "
+                        "program per pow-2 batch bucket) before "
+                        "accepting traffic, so no request ever pays a "
+                        "cold XLA compile")
     p.set_defaults(func=run)
 
 
@@ -91,6 +96,12 @@ def run(args) -> int:
         searcher, provider, template, index_name,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
     )
+    if args.warm and not meta.is_pruned:
+        import time as _time
+
+        t0 = _time.time()
+        n = state.warm()
+        print(f"Warmed {n} serving programs in {_time.time() - t0:.0f}s")
     server = serve(state, host=args.host, port=args.port, cors=args.cors)
     print(f"Serving index '{index_name}' on http://{args.host}:{args.port}")
     try:

@@ -52,6 +52,28 @@ class ServerState:
             max_batch=max_batch, window_ms=batch_window_ms,
         )
 
+    def warm(self, top_ks=(10,), max_batch: Optional[int] = None) -> int:
+        """Precompile the serving program lattice: one device program
+        per (pow-2 batch bucket, fetch_k). Without this, the first
+        flush that lands in a fresh bucket pays a multi-second XLA
+        compile mid-traffic (measured 12s p95 spikes at 1M). Returns
+        the number of searches issued."""
+        import numpy as np
+
+        from leann_tpu.index.searcher import SearchOptions
+
+        mb = max_batch or self.batcher.max_batch
+        dim = self.searcher.meta.dim
+        n = 0
+        for top_k in top_ks:
+            b = 1
+            while b <= mb:
+                q = np.zeros((b, dim), dtype=np.float32)
+                self.searcher.search(q, SearchOptions(top_k=top_k))
+                n += 1
+                b *= 2
+        return n
+
 
 def make_handler(state: ServerState, cors: bool):
     class Handler(BaseHTTPRequestHandler):
