@@ -64,6 +64,8 @@ def _beam_search_core(
     expansions: int = 1,
     track_visited: int = 0,
     entry_scores: Optional[jnp.ndarray] = None,  # [B, S] precomputed
+    iter_budget: Optional[int] = None,
+    init_state: Optional[Tuple] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """expand_fn(queries [B, D], u [B, E]) -> (nbrs [B, E*R] int32,
     scores [B, E*R] f32): the fixed-degree neighbor ids of the expanded
@@ -207,6 +209,22 @@ def _beam_search_core(
 
     state = (beam_ids, beam_scores, expanded, visited, jnp.int32(0),
              vlog_ids, vlog_scores)
+    if iter_budget is not None:
+        # segmented execution: run at most `iter_budget` hops from
+        # `init_state` (or fresh) and hand the whole state back to the
+        # caller. The recompute engine drives the traversal in
+        # host-looped segments because one hop embeds thousands of
+        # sequences and a full traversal in a single dispatch exceeds
+        # the execution wall limit of the TPU relay (the worker is
+        # killed between ~50s and ~80s; bisect r4).
+        if init_state is not None:
+            state = init_state
+        start = state[4]
+
+        def seg_cond(s):
+            return cond(s) & (s[4] < start + iter_budget)
+
+        return jax.lax.while_loop(seg_cond, body, state)
     beam_ids, beam_scores, expanded, visited, _, vlog_ids, vlog_scores = (
         jax.lax.while_loop(cond, body, state)
     )
@@ -468,15 +486,35 @@ def beam_search_recompute_batch(
     n_entries best starts — the same cluster-coverage lever the
     stored-vector engines use (seed_pool_size rationale), at zero
     per-query encoder forwards."""
+    # Per-hop encoder forwards are chunked inside _recompute_fns: at
+    # beam 64+ a single hop embeds B*R (= 256*48 ~ 12k) sequences at
+    # once, and the unchunked forward's live set (QKV + attention +
+    # MLP intermediate, bf16) approaches the v5e's 16GB HBM. Chunks of
+    # ~4k sequences (LEANN_RECOMPUTE_CHUNK) bound the transient while
+    # keeping matmuls MXU-sized.
+    n_sentinel, expand_fn, score_fn = _recompute_fns(
+        token_ids, attn_mask, adjacency, bert_params, metric, config)
+    entry, entry_sc = _recompute_entry(
+        queries, entry, seed_ids, seed_vecs, metric, n_entries,
+        beam_width)
+
+    beam_ids, beam_sc, vlog_ids, vlog_sc = _beam_search_core(
+        queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
+        n_sentinel, beam_width, max_iters, hash_bits, expansions,
+        track_visited=visited_pool, entry_scores=entry_sc,
+    )
+    if not visited_pool:
+        return beam_ids, beam_sc
+    return _merge_visited(beam_ids, beam_sc, vlog_ids, vlog_sc, n_sentinel)
+
+
+def _recompute_fns(token_ids, attn_mask, adjacency, bert_params,
+                   metric, config):
+    """Shared expand/score closures for the recompute jits (the logic
+    documented in beam_search_recompute_batch)."""
     from leann_tpu.models.bert import bert_forward
 
     n_sentinel = token_ids.shape[0] - 1
-    # Per-hop encoder forwards are chunked: at beam 64+ a single hop
-    # embeds B*R (= 256*48 ~ 12k) sequences at once, and the unchunked
-    # forward's live set (QKV + attention + MLP intermediate, bf16)
-    # approaches the v5e's 16GB HBM — the 100k battery step crashed
-    # the TPU worker twice exactly there (r4). Chunks of ~4k sequences
-    # keep matmuls MXU-sized while bounding the transient.
     chunk_target = int(os.environ.get("LEANN_RECOMPUTE_CHUNK", 4096))
 
     def _encode(toks, mask):
@@ -500,7 +538,7 @@ def beam_search_recompute_batch(
         b, k = ids.shape
         toks = token_ids[ids].reshape(b * k, -1)
         mask = attn_mask[ids].reshape(b * k, -1)
-        emb = _encode(toks, mask)                               # [B*K, D]
+        emb = _encode(toks, mask)
         emb = emb.reshape(b, k, -1)
         dots = jnp.einsum(
             "bkd,bd->bk", emb, q, preferred_element_type=jnp.float32
@@ -514,29 +552,102 @@ def beam_search_recompute_batch(
         nbrs = adjacency[u].reshape(q.shape[0], -1)
         return nbrs, score_fn(q, nbrs)
 
-    entry_sc = None
-    if seed_vecs is not None:
-        seed_dots = jnp.einsum(
-            "md,bd->bm", seed_vecs, queries,
-            preferred_element_type=jnp.float32)
-        if metric == "l2":
-            seed_scores = (
-                2.0 * seed_dots
-                - jnp.sum(seed_vecs * seed_vecs, axis=1)[None, :])
-        else:
-            seed_scores = seed_dots
-        s_eff = min(n_entries, int(seed_ids.shape[0]), beam_width)
-        entry_sc, best = jax.lax.top_k(seed_scores, s_eff)
-        entry = seed_ids[best]                               # [B, S]
+    return n_sentinel, expand_fn, score_fn
 
-    beam_ids, beam_sc, vlog_ids, vlog_sc = _beam_search_core(
+
+def _recompute_entry(queries, entry, seed_ids, seed_vecs, metric,
+                     n_entries, beam_width):
+    if seed_vecs is None:
+        return entry, None
+    seed_dots = jnp.einsum(
+        "md,bd->bm", seed_vecs, queries,
+        preferred_element_type=jnp.float32)
+    if metric == "l2":
+        seed_scores = (
+            2.0 * seed_dots
+            - jnp.sum(seed_vecs * seed_vecs, axis=1)[None, :])
+    else:
+        seed_scores = seed_dots
+    s_eff = min(n_entries, int(seed_ids.shape[0]), beam_width)
+    entry_sc, best = jax.lax.top_k(seed_scores, s_eff)
+    return seed_ids[best], entry_sc
+
+
+def _recompute_done(state, max_iters, n_sentinel):
+    beam_ids, beam_scores, expanded, _, it = state[:5]
+    live = (~expanded) & (beam_ids != n_sentinel) & (beam_scores > NEG_INF)
+    return (it >= max_iters) | ~jnp.any(live)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "beam_width", "max_iters", "metric", "hash_bits", "config",
+        "expansions", "visited_pool", "n_entries", "segment_iters",
+    ),
+)
+def _recompute_segment_jit(
+    queries, token_ids, attn_mask, adjacency, bert_params, entry,
+    exclude, state, seed_ids, seed_vecs,
+    beam_width: int, max_iters: int, metric: str, config,
+    hash_bits: int, expansions: int, visited_pool: int, n_entries: int,
+    segment_iters: int,
+):
+    """One traversal segment (at most `segment_iters` hops). state=None
+    starts fresh (seeding included); otherwise resumes. Returns
+    (state, done). The host loops segments because a full recompute
+    traversal in one dispatch exceeds the TPU relay's execution wall
+    limit (worker killed between ~50s and ~80s of one program; r4
+    bisect) — only the scalar `done` flag crosses to the host."""
+    n_sentinel, expand_fn, score_fn = _recompute_fns(
+        token_ids, attn_mask, adjacency, bert_params, metric, config)
+    entry_sc = None
+    if state is None:
+        entry, entry_sc = _recompute_entry(
+            queries, entry, seed_ids, seed_vecs, metric, n_entries,
+            beam_width)
+    state = _beam_search_core(
         queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
         track_visited=visited_pool, entry_scores=entry_sc,
+        iter_budget=segment_iters, init_state=state,
     )
-    if not visited_pool:
-        return beam_ids, beam_sc
+    return state, _recompute_done(state, max_iters, n_sentinel)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "n_sentinel"))
+def _recompute_finish_jit(state, queries, metric, n_sentinel):
+    beam_ids, beam_sc = state[0], state[1]
+    vlog_ids, vlog_sc = state[5], state[6]
     return _merge_visited(beam_ids, beam_sc, vlog_ids, vlog_sc, n_sentinel)
+
+
+def beam_search_recompute_segmented(
+    queries, token_ids, attn_mask, adjacency, bert_params, entry,
+    exclude, beam_width, max_iters, metric, config,
+    hash_bits=12, expansions=1, visited_pool=128,
+    seed_ids=None, seed_vecs=None, n_entries=8, segment_iters=8,
+):
+    """Host-driven segmented recompute traversal (see
+    _recompute_segment_jit). Keeps every array on device between
+    dispatches; syncs one bool per segment."""
+    state = None
+    done = False
+    while not done:
+        state, done_dev = _recompute_segment_jit(
+            queries, token_ids, attn_mask, adjacency, bert_params,
+            entry, exclude, state, seed_ids, seed_vecs,
+            beam_width=beam_width, max_iters=max_iters, metric=metric,
+            config=config, hash_bits=hash_bits, expansions=expansions,
+            visited_pool=visited_pool, n_entries=n_entries,
+            segment_iters=segment_iters,
+        )
+        done = bool(done_dev)
+    if not visited_pool:
+        return state[0], state[1]
+    return _recompute_finish_jit(
+        state, queries, metric=metric,
+        n_sentinel=token_ids.shape[0] - 1)
 
 
 # ---------------------------------------------------------------- host API
@@ -892,7 +1003,19 @@ class RecomputeBeamEngine:
         if bb != b:
             q = np.concatenate([q, np.zeros((bb - b, q.shape[1]), np.float32)])
         exc = np.full((bb,), -1, dtype=np.int32)
-        ids, scores = beam_search_recompute_batch(
+        # Segmented by default on a real TPU: one full traversal in a
+        # single dispatch exceeds the relay's execution wall limit
+        # (worker killed between ~50s and ~80s of one program — r4
+        # bisect: max_iters=16 OK, 48 dead at bert-base/beam 64).
+        # Segments of 8 hops stay well under it; state stays on device
+        # between dispatches. 0 disables (single dispatch, CPU tests).
+        seg_default = 8 if jax.devices()[0].platform in ("tpu", "axon") \
+            else 0
+        seg = int(os.environ.get("LEANN_RECOMPUTE_SEGMENT", seg_default))
+        fn = beam_search_recompute_segmented if seg else \
+            beam_search_recompute_batch
+        kw = {"segment_iters": seg} if seg else {}
+        ids, scores = fn(
             jnp.asarray(q),
             self.token_ids,
             self.attn_mask,
@@ -909,6 +1032,7 @@ class RecomputeBeamEngine:
             seed_ids=self.seed_ids,
             seed_vecs=self.seed_vecs,
             n_entries=min(16, max(1, beam_width // 2)),
+            **kw,
         )
         k = min(k, ids.shape[1])
         idx = np.asarray(ids[:b, :k])
