@@ -240,9 +240,21 @@ def _ivf8_search_jit(
     queries, bucket_cent, bucket_ids, payload, scale, nsq,
     k: int, c: int, nprobe: int, metric: str, sentinel: int,
 ):
+    return ivf8_search(
+        queries, bucket_cent, bucket_ids, payload, scale, nsq,
+        k=k, c=c, nprobe=nprobe, metric=metric, sentinel=sentinel,
+    )
+
+
+def ivf8_search(
+    queries, bucket_cent, bucket_ids, payload, scale, nsq,
+    k: int, c: int, nprobe: int, metric: str, sentinel: int,
+):
     """int8 bucket scan (running top-C over a lax.scan across probes,
     candidates tracked by PACKED position) + f32-dequant rescore from
-    the same payload. One jit, device-in/device-out."""
+    the same payload. Plain traceable function so the sharded engine
+    can call it inside shard_map; _ivf8_search_jit is the single-chip
+    jit wrapper."""
     b, d = queries.shape
     cap = bucket_ids.shape[1]
 

@@ -19,8 +19,9 @@ from leann_tpu.parallel.mesh import init_distributed, make_mesh
 from leann_tpu.parallel.sharded import (
     ShardedFlatIndex,
     ShardedGraphIndex,
+    ShardedIvf8Index,
     ShardedIvfIndex,
 )
 
 __all__ = ["init_distributed", "make_mesh", "ShardedFlatIndex", "ShardedGraphIndex",
-           "ShardedIvfIndex"]
+           "ShardedIvfIndex", "ShardedIvf8Index"]

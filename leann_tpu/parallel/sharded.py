@@ -6,13 +6,16 @@ across chips; queries are data-parallel over `dp` and replicated over
 candidates are all-gathered over ICI and merged with one final top-k.
 Per-shard local ids are rebased to global ids with the shard offset.
 
-Three engines:
+Four engines:
   ShardedFlatIndex   exact chunked matmul top-k per shard
   ShardedGraphIndex  per-shard Vamana subgraph + frontier-batched beam
                      search per shard (the DEEP-10M configuration:
                      graphs too big for one chip's HBM)
   ShardedIvfIndex    per-shard k-means buckets + partitioned matmul scan
                      (the throughput engine, sharded)
+  ShardedIvf8Index   per-shard residual-int8 buckets, rerank from the
+                     same payload, no f32 corpus anywhere (the
+                     DEEP-100M configuration: 1 byte/dim per shard)
 """
 
 from __future__ import annotations
@@ -822,3 +825,158 @@ def _sharded_ivf_topk(
         check_vma=False,
     )
     return fn(queries, bucket_cent, bucket_ids, bucket_vecs, bucket_sq)
+
+
+class ShardedIvf8Index:
+    """Per-shard ivf8: residual-int8 payload scanned on each chip's MXU,
+    reranked from the same payload, merged over ICI — the DEEP-100M
+    serving configuration. Unlike ShardedIvfIndex there is NO f32
+    corpus anywhere (host or device): per-shard HBM is 1 byte/dim of
+    payload + scale/|x|^2 sidecars (~13.9GB per shard at 100M x 96
+    over 8 chips = 12.5M rows/shard), and the final scores are exact
+    f32 dequants of the residual payload (ops/ivf_int8.py rationale)."""
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        mesh: Mesh,
+        metric: str = "ip",
+        n_clusters: Optional[int] = None,
+        kmeans_iters: int = 8,
+        cap: Optional[int] = None,
+        seed: int = 0,
+    ):
+        from leann_tpu.ops.ivf import kmeans
+        from leann_tpu.ops.ivf_int8 import pack_int8_buckets
+
+        self.mesh = mesh
+        self.metric_in = metric
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if metric == "cosine":
+            vectors = vectors / (
+                np.linalg.norm(vectors, axis=1, keepdims=True) + 1e-12
+            )
+        self.metric = "ip" if metric == "cosine" else metric
+        self.n, self.d = vectors.shape
+        self.n_shards = mesh.shape["shard"]
+        self.rows = -(-self.n // self.n_shards)
+
+        padded = _pad_rows(vectors, self.rows * self.n_shards)
+        per_shard = []
+        for s in range(self.n_shards):
+            block = padded[s * self.rows : (s + 1) * self.rows]
+            valid = min(self.rows, max(1, self.n - s * self.rows))
+            k = n_clusters or max(16, int(2 * valid ** 0.5))
+            centers, assign = kmeans(
+                block[:valid], min(k, valid), iters=kmeans_iters,
+                metric=self.metric, seed=seed + s,
+            )
+            ids, cent, payload, scale, nsq = pack_int8_buckets(
+                block[:valid], assign, centers, cap=cap
+            )
+            # rebase the pack sentinel (=valid) to the common `rows`
+            ids = np.where(ids >= valid, self.rows, ids)
+            per_shard.append((ids, cent, payload, scale, nsq))
+
+        kp = max(t[0].shape[0] for t in per_shard)
+        cp = max(t[0].shape[1] for t in per_shard)
+        ids_st = np.full((self.n_shards, kp, cp), self.rows, np.int32)
+        cent_st = np.zeros((self.n_shards, kp, self.d), np.float32)
+        pay_st = np.zeros((self.n_shards, kp, cp, self.d), np.int8)
+        scale_st = np.zeros((self.n_shards, kp, cp), np.float32)
+        nsq_st = np.zeros((self.n_shards, kp, cp), np.float32)
+        for s, (ids, cent, payload, scale, nsq) in enumerate(per_shard):
+            kk, cc = ids.shape
+            ids_st[s, :kk, :cc] = ids
+            cent_st[s, :kk] = cent
+            pay_st[s, :kk, :cc] = payload
+            scale_st[s, :kk, :cc] = scale
+            nsq_st[s, :kk, :cc] = nsq
+        # pad bucket rows hold only sentinel ids, so their candidates
+        # mask to NEG_INF even when probed (same policy as ShardedIvf)
+        shard3 = NamedSharding(mesh, P("shard", None, None))
+        self.bucket_ids = jax.device_put(ids_st, shard3)
+        self.bucket_cent = jax.device_put(cent_st, shard3)
+        self.payload = jax.device_put(
+            pay_st, NamedSharding(mesh, P("shard", None, None, None)))
+        self.scale = jax.device_put(scale_st, shard3)
+        self.nsq = jax.device_put(nsq_st, shard3)
+
+    def search(
+        self, queries: np.ndarray, k: int = 10, nprobe: int = 16,
+        rescore_factor: int = 4,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if self.metric_in == "cosine":
+            q = q / (np.linalg.norm(q, axis=1, keepdims=True) + 1e-12)
+        dp = self.mesh.shape.get("dp", 1)
+        b = q.shape[0]
+        b_pad = -(-b // dp) * dp
+        qp = _pad_rows(q, b_pad)
+        k_eff = min(k, self.rows)
+        c = min(max(rescore_factor * k_eff, k_eff), self.rows)
+        nprobe = min(nprobe, self.bucket_cent.shape[1])
+        scores, idx = _sharded_ivf8_topk(
+            jnp.asarray(qp), self.bucket_cent, self.bucket_ids,
+            self.payload, self.scale, self.nsq,
+            k_eff, c, nprobe, self.metric, self.mesh, self.rows, self.n,
+        )
+        return np.asarray(idx)[:b], np.asarray(scores)[:b]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "c", "nprobe", "metric", "mesh", "rows",
+                     "valid_n"),
+)
+def _sharded_ivf8_topk(
+    queries, bucket_cent, bucket_ids, payload, scale, nsq,
+    k, c, nprobe, metric, mesh, rows, valid_n,
+):
+    from leann_tpu.ops.ivf_int8 import ivf8_search
+
+    def local_fn(q, cent, ids, pay, sc, ns):
+        q = q.reshape(q.shape[-2], q.shape[-1])
+        cent = cent.reshape(cent.shape[-2], cent.shape[-1])
+        ids = ids.reshape(ids.shape[-2], ids.shape[-1])
+        pay = pay.reshape(pay.shape[-3], pay.shape[-2], pay.shape[-1])
+        sc = sc.reshape(sc.shape[-2], sc.shape[-1])
+        ns = ns.reshape(ns.shape[-2], ns.shape[-1])
+        b = q.shape[0]
+        local_ids, local_scores = ivf8_search(
+            q, cent, ids, pay, sc, ns,
+            k=k, c=c, nprobe=nprobe, metric=metric, sentinel=rows,
+        )
+        shard_id = jax.lax.axis_index("shard")
+        base = shard_id * rows
+        global_ids = jnp.where(local_ids < 0, -1, local_ids + base)
+        local_scores = jnp.where(
+            (global_ids < 0) | (global_ids >= valid_n),
+            NEG_INF, local_scores,
+        )
+        all_scores = jax.lax.all_gather(local_scores, "shard", axis=1)
+        all_idx = jax.lax.all_gather(global_ids, "shard", axis=1)
+        all_scores = all_scores.reshape(b, -1)
+        all_idx = all_idx.reshape(b, -1)
+        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+        top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
+        return top_scores, top_idx
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None),
+            P("shard", None, None),
+            P("shard", None, None),
+            P("shard", None, None, None),
+            P("shard", None, None),
+            P("shard", None, None),
+        ),
+        out_specs=(P("dp", None), P("dp", None)),
+        check_vma=False,
+    )
+    return fn(queries, bucket_cent, bucket_ids, payload, scale, nsq)

@@ -63,7 +63,7 @@ class ServerState:
         from leann_tpu.index.searcher import SearchOptions
 
         mb = max_batch or self.batcher.max_batch
-        dim = self.searcher.meta.dim
+        dim = self.searcher.meta.dimensions
         n = 0
         for top_k in top_ks:
             b = 1

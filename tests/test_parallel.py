@@ -311,3 +311,36 @@ def test_init_distributed_noop_single_host(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
     assert init_distributed() is False
+
+
+def test_sharded_ivf8_recall():
+    from leann_tpu.parallel import ShardedIvf8Index
+
+    mesh = make_mesh((1, 8))
+    x = corpus(2000, 32, seed=7)
+    index = ShardedIvf8Index(x, mesh, metric="l2", n_clusters=16)
+    rng = np.random.default_rng(8)
+    q = x[rng.integers(0, 2000, 16)] + 0.05 * rng.standard_normal(
+        (16, 32)
+    ).astype(np.float32)
+    idx, scores = index.search(q, k=10, nprobe=12, rescore_factor=8)
+    _, oracle = exact_topk(q, x, 10, metric="l2")
+    rec = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(idx, oracle)
+    ])
+    # residual-int8 payload: near-f32 recall at this scale
+    assert rec >= 0.85, f"sharded ivf8 recall {rec}"
+    assert (idx < 2000).all()
+    assert (np.diff(scores, axis=1) <= 1e-4).all()
+
+
+def test_sharded_ivf8_dp_mesh_uneven_n():
+    from leann_tpu.parallel import ShardedIvf8Index
+
+    mesh = make_mesh((2, 4))
+    x = corpus(777, 16, seed=9)
+    index = ShardedIvf8Index(x, mesh, metric="ip", n_clusters=8)
+    q = x[[5, 400, 776]]
+    idx, _ = index.search(q, k=5, nprobe=8)
+    assert idx.shape == (3, 5)
+    assert (idx < 777).all() and (idx >= 0).all()

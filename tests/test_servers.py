@@ -513,3 +513,24 @@ def test_microbatch_plain_and_hybrid_share_group(tmp_index_base):
                 assert 0.0 <= rows[0].score <= 1.0 + 1e-6
     finally:
         batcher.close()
+
+
+def test_server_state_warm(tmp_index_base):
+    """warm() precompiles one program per pow-2 bucket and must run
+    against a real searcher+meta (regression: it read meta.dim, which
+    does not exist — meta.dimensions is the field)."""
+    from leann_tpu.server.http import ServerState
+
+    provider = EmbeddingProvider(mode="fake", dimensions=16)
+    texts = [f"doc {i}" for i in range(8)]
+    builder = IndexBuilder(tmp_index_base, dim=16)
+    for i, (t, v) in enumerate(zip(texts, provider.embed(texts))):
+        builder.add(f"t{i}", t, v, {})
+    builder.build()
+    state = ServerState(
+        IndexSearcher.load(tmp_index_base), provider, None, "warmtest",
+        max_batch=8)
+    try:
+        assert state.warm() == 4  # buckets 1, 2, 4, 8
+    finally:
+        state.batcher.close()
