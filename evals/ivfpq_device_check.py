@@ -124,6 +124,9 @@ def main():
         for i in range(len(oracle))
     ]))
     log(f"recall@10: {recall:.4f} @ nprobe {args.nprobe}")
+    import recall_guard
+
+    regression = recall_guard.check(f"ivfpq_n{n}_d{d}", recall)
 
     def draw_qs(mb, seed):
         r = np.random.default_rng(seed)
@@ -173,7 +176,10 @@ def main():
         "codes_gb": round(codes_gb, 2),
         "rescore_corpus_gb": round(n * d * rescore_bytes / 1e9, 2),
         "bf16_engine_gb": round(n * d * 6 / 1e9, 2),
+        **({"recall_regression": True} if regression else {}),
     }), flush=True)
+    if regression:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -245,6 +245,15 @@ def main():
         "records_gb": round(
             float(np.prod(eng.records.shape)) * 4 / 1e9, 2),
     }
+    import recall_guard
+
+    # guarded key only for the committed positive-regime row (lowdim);
+    # bench-mixture rows are negative-regime scoping, not floors
+    if args.corpus == "lowdim":
+        if recall_guard.check(f"pq_lowdim_n{n}_d{d}", recall):
+            row["recall_regression"] = True
+            print(json.dumps(row), flush=True)
+            sys.exit(3)
     print(json.dumps(row), flush=True)
 
 

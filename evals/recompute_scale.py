@@ -120,6 +120,10 @@ def main():
                 for i in range(NQ)
             )
             rec = hits / (NQ * 10)
+            import recall_guard
+
+            regression = recall_guard.check(
+                f"recompute_n{N}_beam{beam}", rec)
             print(json.dumps({
                 "config": 3, "n": N, "t": T,
                 "enc": f"{cfg.num_layers}L{cfg.hidden_size}",
@@ -131,7 +135,12 @@ def main():
                 "stored_mb": round(stored_mb),
                 "pruned_mb": round(pruned_mb),
                 "storage_win": round(stored_mb / pruned_mb, 1),
+                **({"recall_regression": True} if regression else {}),
             }), flush=True)
+            if regression:
+                import sys
+
+                sys.exit(3)
         del engine
 
 

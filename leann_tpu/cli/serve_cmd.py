@@ -96,12 +96,16 @@ def run(args) -> int:
         searcher, provider, template, index_name,
         max_batch=args.max_batch, batch_window_ms=args.batch_window_ms,
     )
-    if args.warm and not meta.is_pruned:
+    if args.warm:
         import time as _time
 
         t0 = _time.time()
-        n = state.warm()
-        print(f"Warmed {n} serving programs in {_time.time() - t0:.0f}s")
+        n = state.warm()  # no-ops (returns 0) for pruned indexes
+        if n:
+            print(f"Warmed {n} serving programs in {_time.time() - t0:.0f}s")
+        else:
+            print("--warm skipped: pruned index (recompute programs are "
+                  "shaped by live traversal state, not warmable buckets)")
     server = serve(state, host=args.host, port=args.port, cors=args.cors)
     print(f"Serving index '{index_name}' on http://{args.host}:{args.port}")
     try:

@@ -66,6 +66,8 @@ def _beam_search_core(
     entry_scores: Optional[jnp.ndarray] = None,  # [B, S] precomputed
     iter_budget: Optional[int] = None,
     init_state: Optional[Tuple] = None,
+    aux_init: Tuple = (),
+    stateful_expand: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """expand_fn(queries [B, D], u [B, E]) -> (nbrs [B, E*R] int32,
     scores [B, E*R] f32): the fixed-degree neighbor ids of the expanded
@@ -84,7 +86,14 @@ def _beam_search_core(
     V ++ beam: without V's early, far-from-target expansions the alpha
     rule never creates long-range edges and large graphs lose
     navigability (measured: recall@10 collapsed 0.99 -> 0.28 going
-    50k -> 1M when pruning from the final beam alone)."""
+    50k -> 1M when pruning from the final beam alone).
+
+    `stateful_expand` switches expand_fn to the 3-arg form
+    expand_fn(queries, u, aux) -> (nbrs, scores, aux): `aux` is an
+    arbitrary pytree carried through the traversal loop (and, in
+    segmented mode, through the returned state between dispatches).
+    The recompute engine uses it for its cross-query embedding cache;
+    `aux_init` seeds it on a fresh start."""
     b, _ = queries.shape
     L = beam_width
     E = max(1, min(expansions, L))
@@ -135,7 +144,8 @@ def _beam_search_core(
         return (it < max_iters) & jnp.any(unexpanded_mask(state))
 
     def body(state):
-        beam_ids, beam_scores, expanded, visited, it, vlog_ids, vlog_scores = state
+        (beam_ids, beam_scores, expanded, visited, it, vlog_ids,
+         vlog_scores, aux) = state
         mask = unexpanded_mask(state)
         sel_scores = jnp.where(mask, beam_scores, NEG_INF)
         # expand the E best unexpanded entries this hop
@@ -170,7 +180,10 @@ def _beam_search_core(
 
         c = E * r
         # --- expand: neighbor ids + raw scores (the hot block) ---
-        nbrs, cand_scores = expand_fn(queries, u)                   # [B, E*R]
+        if stateful_expand:
+            nbrs, cand_scores, aux = expand_fn(queries, u, aux)     # [B, E*R]
+        else:
+            nbrs, cand_scores = expand_fn(queries, u)               # [B, E*R]
         cand_active = jnp.repeat(active, r, axis=1)                 # [B, E*R]
 
         # --- validity masks ---
@@ -205,10 +218,10 @@ def _beam_search_core(
         top_ids = jnp.take_along_axis(all_ids, pos, axis=1)
         top_exp = jnp.take_along_axis(all_exp, pos, axis=1)
         return (top_ids, top_scores, top_exp, visited, it + 1,
-                vlog_ids, vlog_scores)
+                vlog_ids, vlog_scores, aux)
 
     state = (beam_ids, beam_scores, expanded, visited, jnp.int32(0),
-             vlog_ids, vlog_scores)
+             vlog_ids, vlog_scores, aux_init)
     if iter_budget is not None:
         # segmented execution: run at most `iter_budget` hops from
         # `init_state` (or fresh) and hand the whole state back to the
@@ -225,9 +238,8 @@ def _beam_search_core(
             return cond(s) & (s[4] < start + iter_budget)
 
         return jax.lax.while_loop(seg_cond, body, state)
-    beam_ids, beam_scores, expanded, visited, _, vlog_ids, vlog_scores = (
-        jax.lax.while_loop(cond, body, state)
-    )
+    (beam_ids, beam_scores, expanded, visited, _, vlog_ids, vlog_scores,
+     _aux) = jax.lax.while_loop(cond, body, state)
     return beam_ids, beam_scores, vlog_ids, vlog_scores
 
 
@@ -448,7 +460,8 @@ def beam_search_inline_batch(
     jax.jit,
     static_argnames=(
         "beam_width", "max_iters", "metric", "hash_bits", "config",
-        "expansions", "visited_pool", "n_entries",
+        "expansions", "visited_pool", "n_entries", "use_cache",
+        "enc_chunk",
     ),
 )
 def beam_search_recompute_batch(
@@ -469,6 +482,8 @@ def beam_search_recompute_batch(
     seed_ids: Optional[jnp.ndarray] = None,    # [M] int32 shared pool
     seed_vecs: Optional[jnp.ndarray] = None,   # [M, D] f32 cached embeds
     n_entries: int = 8,
+    use_cache: bool = False,
+    enc_chunk: int = 2048,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The LEANN trick, fused: no stored vectors exist — every hop's
     candidates are re-embedded by the BERT encoder *inside* the traversal
@@ -498,10 +513,19 @@ def beam_search_recompute_batch(
         queries, entry, seed_ids, seed_vecs, metric, n_entries,
         beam_width)
 
+    aux0: Tuple = ()
+    if use_cache:
+        n_sentinel, expand_fn = _recompute_cached_fns(
+            token_ids, attn_mask, adjacency, bert_params, metric, config,
+            enc_chunk)
+        aux0 = _recompute_cache_init(
+            token_ids.shape[0], queries.shape[1], seed_ids, seed_vecs)
+
     beam_ids, beam_sc, vlog_ids, vlog_sc = _beam_search_core(
         queries, adjacency.shape[1], entry, exclude, expand_fn, score_fn,
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
         track_visited=visited_pool, entry_scores=entry_sc,
+        aux_init=aux0, stateful_expand=use_cache,
     )
     if not visited_pool:
         return beam_ids, beam_sc
@@ -555,6 +579,116 @@ def _recompute_fns(token_ids, attn_mask, adjacency, bert_params,
     return n_sentinel, expand_fn, score_fn
 
 
+def _recompute_cache_init(n_rows, d, seed_ids, seed_vecs, dtype=None):
+    """Fresh per-batch embedding cache: [N+1, D] vectors + valid bitmap,
+    pre-seeded with the engine's entry pool (hubs are exactly the nodes
+    every query revisits first). f32 default keeps cached scores
+    bit-identical to the uncached path; LEANN_RECOMPUTE_CACHE_DTYPE=bf16
+    halves the [N+1, D] footprint for 1M-scale corpora (3.0 -> 1.5GB)
+    at a sub-1e-2 score perturbation."""
+    if dtype is None:
+        dtype = (jnp.bfloat16
+                 if os.environ.get("LEANN_RECOMPUTE_CACHE_DTYPE") == "bf16"
+                 else jnp.float32)
+    vecs = jnp.zeros((n_rows, d), dtype)
+    valid = jnp.zeros((n_rows,), jnp.bool_)
+    if seed_ids is not None and seed_vecs is not None:
+        vecs = vecs.at[seed_ids].set(seed_vecs.astype(dtype))
+        valid = valid.at[seed_ids].set(True)
+    return vecs, valid
+
+
+def _recompute_cached_fns(token_ids, attn_mask, adjacency, bert_params,
+                          metric, config, enc_chunk=2048):
+    """Cross-query dedup for the recompute traversal (the config-3
+    throughput lever). The plain expand_fn embeds every candidate slot:
+    B x E*R sequences per hop, even though queries in a batch expand the
+    same hubs and graph-local neighbor rows overlap heavily — at 100k
+    nodes a 256-query traversal issues ~1.8M encoder forwards for at
+    most 100k distinct nodes. Here every encoded embedding lands in a
+    dense device cache (aux = ([N+1, D] vecs, [N+1] valid)); per hop the
+    candidate ids are sorted, first-occurrences not yet cached are
+    compacted to the front of a miss buffer, and ONLY those rows run the
+    encoder — in fixed-size chunks driven by a dynamic-trip-count
+    lax.while_loop, so compute scales with unique misses while every
+    shape stays static. Scoring is then one cache gather + einsum.
+
+    Replaces the reference's semantics (re-embed everything per query,
+    src/index/recompute.rs:86-93) with encode-once-per-batch."""
+    from leann_tpu.models.bert import bert_forward
+
+    n_sentinel = token_ids.shape[0] - 1
+    # big chunks amortize encoder launch overhead on the bulk; the
+    # small-chunk tail bounds per-hop rounding waste at c_small rows
+    # (144 hops x 2048/2 mean waste would exceed the useful work).
+    # enc_chunk is a STATIC arg of the calling jits (not an env read at
+    # trace time) so changing it actually recompiles.
+    c_big = max(16, int(enc_chunk))
+    c_small = max(16, c_big // 8)
+
+    def _encode_rows(rows):
+        return bert_forward(
+            bert_params, token_ids[rows], attn_mask[rows], config)
+
+    def expand_fn(q, u, aux):
+        cache_vecs, cache_valid = aux
+        b = q.shape[0]
+        nbrs = adjacency[u].reshape(b, -1)                     # [B, C]
+        flat = nbrs.reshape(-1)                                # [M]
+        m = flat.shape[0]
+
+        sorted_ids = jnp.sort(flat)
+        first = jnp.concatenate(
+            [jnp.ones((1,), jnp.bool_),
+             sorted_ids[1:] != sorted_ids[:-1]])
+        miss = first & (~cache_valid[sorted_ids]) \
+            & (sorted_ids != n_sentinel)
+        miss_count = jnp.sum(miss.astype(jnp.int32))
+        pos = jnp.cumsum(miss.astype(jnp.int32)) - 1
+        buf_len = m + c_big  # slack: dynamic_slice never clips live rows
+        miss_buf = jnp.full((buf_len,), n_sentinel, jnp.int32)
+        miss_buf = miss_buf.at[jnp.where(miss, pos, buf_len)].set(
+            sorted_ids, mode="drop")
+
+        def chunk_body(chunk, offset):
+            def run(st):
+                i, vecs, valid = st
+                rows = jax.lax.dynamic_slice(
+                    miss_buf, (offset + i * chunk,), (chunk,))
+                emb = _encode_rows(rows)
+                # sentinel pad rows scatter junk into row N and mark it
+                # valid — harmless: sentinel candidates are masked in
+                # the core before admission
+                vecs = vecs.at[rows].set(emb.astype(vecs.dtype))
+                valid = valid.at[rows].set(True)
+                return (i + 1, vecs, valid)
+
+            return run
+
+        n_big = miss_count // c_big
+        _, cache_vecs, cache_valid = jax.lax.while_loop(
+            lambda st: st[0] < n_big,
+            chunk_body(c_big, jnp.int32(0)),
+            (jnp.int32(0), cache_vecs, cache_valid))
+        tail_start = n_big * c_big
+        n_small = (miss_count - tail_start + c_small - 1) // c_small
+        _, cache_vecs, cache_valid = jax.lax.while_loop(
+            lambda st: st[0] < n_small,
+            chunk_body(c_small, tail_start),
+            (jnp.int32(0), cache_vecs, cache_valid))
+
+        emb = cache_vecs[nbrs].astype(jnp.float32)             # [B, C, D]
+        dots = jnp.einsum(
+            "bkd,bd->bk", emb, q, preferred_element_type=jnp.float32)
+        if metric == "l2":
+            scores = 2.0 * dots - jnp.sum(emb * emb, axis=-1)
+        else:
+            scores = dots
+        return nbrs, scores, (cache_vecs, cache_valid)
+
+    return n_sentinel, expand_fn
+
+
 def _recompute_entry(queries, entry, seed_ids, seed_vecs, metric,
                      n_entries, beam_width):
     if seed_vecs is None:
@@ -584,6 +718,7 @@ def _recompute_done(state, max_iters, n_sentinel):
     static_argnames=(
         "beam_width", "max_iters", "metric", "hash_bits", "config",
         "expansions", "visited_pool", "n_entries", "segment_iters",
+        "use_cache", "enc_chunk",
     ),
 )
 def _recompute_segment_jit(
@@ -591,16 +726,27 @@ def _recompute_segment_jit(
     exclude, state, seed_ids, seed_vecs,
     beam_width: int, max_iters: int, metric: str, config,
     hash_bits: int, expansions: int, visited_pool: int, n_entries: int,
-    segment_iters: int,
+    segment_iters: int, use_cache: bool = False,
+    enc_chunk: int = 2048,
 ):
     """One traversal segment (at most `segment_iters` hops). state=None
     starts fresh (seeding included); otherwise resumes. Returns
     (state, done). The host loops segments because a full recompute
     traversal in one dispatch exceeds the TPU relay's execution wall
     limit (worker killed between ~50s and ~80s of one program; r4
-    bisect) — only the scalar `done` flag crosses to the host."""
+    bisect) — only the scalar `done` flag crosses to the host.
+    With use_cache the embedding cache rides inside `state` (device-
+    resident between dispatches, never crossing the relay)."""
     n_sentinel, expand_fn, score_fn = _recompute_fns(
         token_ids, attn_mask, adjacency, bert_params, metric, config)
+    aux0: Tuple = ()
+    if use_cache:
+        n_sentinel, expand_fn = _recompute_cached_fns(
+            token_ids, attn_mask, adjacency, bert_params, metric, config,
+            enc_chunk)
+        if state is None:
+            aux0 = _recompute_cache_init(
+                token_ids.shape[0], queries.shape[1], seed_ids, seed_vecs)
     entry_sc = None
     if state is None:
         entry, entry_sc = _recompute_entry(
@@ -611,6 +757,7 @@ def _recompute_segment_jit(
         n_sentinel, beam_width, max_iters, hash_bits, expansions,
         track_visited=visited_pool, entry_scores=entry_sc,
         iter_budget=segment_iters, init_state=state,
+        aux_init=aux0, stateful_expand=use_cache,
     )
     return state, _recompute_done(state, max_iters, n_sentinel)
 
@@ -627,6 +774,7 @@ def beam_search_recompute_segmented(
     exclude, beam_width, max_iters, metric, config,
     hash_bits=12, expansions=1, visited_pool=128,
     seed_ids=None, seed_vecs=None, n_entries=8, segment_iters=8,
+    use_cache=False, enc_chunk=2048,
 ):
     """Host-driven segmented recompute traversal (see
     _recompute_segment_jit). Keeps every array on device between
@@ -640,7 +788,8 @@ def beam_search_recompute_segmented(
             beam_width=beam_width, max_iters=max_iters, metric=metric,
             config=config, hash_bits=hash_bits, expansions=expansions,
             visited_pool=visited_pool, n_entries=n_entries,
-            segment_iters=segment_iters,
+            segment_iters=segment_iters, use_cache=use_cache,
+            enc_chunk=enc_chunk,
         )
         done = bool(done_dev)
     if not visited_pool:
@@ -1015,6 +1164,16 @@ class RecomputeBeamEngine:
         fn = beam_search_recompute_segmented if seg else \
             beam_search_recompute_batch
         kw = {"segment_iters": seg} if seg else {}
+        # cross-query dedup cache (default on): every distinct node is
+        # encoded at most once per search batch — at 100k nodes a
+        # 256-query beam-64 traversal drops from ~1.8M to <=100k
+        # encoder forwards. LEANN_RECOMPUTE_DEDUP=0 restores the
+        # encode-every-candidate path (the A/B + parity baseline).
+        kw["use_cache"] = os.environ.get(
+            "LEANN_RECOMPUTE_DEDUP", "1") != "0"
+        if kw["use_cache"]:
+            kw["enc_chunk"] = int(
+                os.environ.get("LEANN_RECOMPUTE_ENC_CHUNK", 2048))
         ids, scores = fn(
             jnp.asarray(q),
             self.token_ids,

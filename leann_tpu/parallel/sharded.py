@@ -915,25 +915,31 @@ class ShardedIvf8Index:
         b = q.shape[0]
         b_pad = -(-b // dp) * dp
         qp = _pad_rows(q, b_pad)
-        k_eff = min(k, self.rows)
-        c = min(max(rescore_factor * k_eff, k_eff), self.rows)
+        # k may exceed rows-per-shard (tiny corpora / 5x serving
+        # overfetch): each shard contributes its min(k, rows) best and
+        # the cross-shard merge returns min(k, n) columns — same
+        # contract as _sharded_flat_topk's k_local fix
+        k_local = min(k, self.rows)
+        k_final = min(k, self.n)
+        c = min(max(rescore_factor * k_local, k_local), self.rows)
         nprobe = min(nprobe, self.bucket_cent.shape[1])
         scores, idx = _sharded_ivf8_topk(
             jnp.asarray(qp), self.bucket_cent, self.bucket_ids,
             self.payload, self.scale, self.nsq,
-            k_eff, c, nprobe, self.metric, self.mesh, self.rows, self.n,
+            k_local, k_final, c, nprobe, self.metric, self.mesh,
+            self.rows, self.n,
         )
         return np.asarray(idx)[:b], np.asarray(scores)[:b]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "c", "nprobe", "metric", "mesh", "rows",
-                     "valid_n"),
+    static_argnames=("k", "k_final", "c", "nprobe", "metric", "mesh",
+                     "rows", "valid_n"),
 )
 def _sharded_ivf8_topk(
     queries, bucket_cent, bucket_ids, payload, scale, nsq,
-    k, c, nprobe, metric, mesh, rows, valid_n,
+    k, k_final, c, nprobe, metric, mesh, rows, valid_n,
 ):
     from leann_tpu.ops.ivf_int8 import ivf8_search
 
@@ -960,7 +966,7 @@ def _sharded_ivf8_topk(
         all_idx = jax.lax.all_gather(global_ids, "shard", axis=1)
         all_scores = all_scores.reshape(b, -1)
         all_idx = all_idx.reshape(b, -1)
-        top_scores, pos = jax.lax.top_k(all_scores, k)
+        top_scores, pos = jax.lax.top_k(all_scores, k_final)
         top_idx = jnp.take_along_axis(all_idx, pos, axis=1)
         top_idx = jnp.where(top_scores == NEG_INF, -1, top_idx)
         return top_scores, top_idx

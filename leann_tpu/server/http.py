@@ -62,15 +62,27 @@ class ServerState:
 
         from leann_tpu.index.searcher import SearchOptions
 
+        # pruned (recompute-mode) indexes are guarded here, not in each
+        # caller: a warm-up "search" would run full on-TPU re-embedding
+        # traversals per bucket (minutes, and the traversal program is
+        # shaped by real frontier contents, so zero-vector warmup would
+        # not even cache the right programs)
+        if getattr(self.searcher.meta, "is_pruned", False):
+            return 0
         mb = max_batch or self.batcher.max_batch
         dim = self.searcher.meta.dimensions
         n = 0
         for top_k in top_ks:
             b = 1
-            while b <= mb:
+            while True:
                 q = np.zeros((b, dim), dtype=np.float32)
                 self.searcher.search(q, SearchOptions(top_k=top_k))
                 n += 1
+                # a non-pow-2 max_batch (e.g. 48) still pads its top
+                # flushes to the NEXT pow-2 bucket (64), so keep going
+                # until the bucket covers mb, not until b == mb
+                if b >= mb:
+                    break
                 b *= 2
         return n
 
