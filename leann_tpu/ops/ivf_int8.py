@@ -172,12 +172,47 @@ class IvfInt8Engine:
             q, k=k, nprobe=nprobe, rescore_factor=rescore_factor)
         return np.asarray(ids)[:b], np.asarray(scores)[:b]
 
+    def _use_pallas(self) -> bool:
+        import os
+
+        return os.environ.get("LEANN_IVF8_PALLAS") == "1"
+
+    def _pallas_tables(self):
+        """Lane/sublane-padded device tables for the Pallas bucket scan
+        (built once): int8 blocks need (32, 128) tiling, so cap pads to
+        a multiple of 32 and D to 128; empty slots carry id -1."""
+        if getattr(self, "_ptab", None) is not None:
+            return self._ptab
+        cap_pad = -(-self.cap // 32) * 32
+        d_pad = -(-self.d // 128) * 128
+        kp = self.bucket_ids.shape[0]
+        pay = jnp.zeros((kp, cap_pad, d_pad), jnp.int8)
+        pay = pay.at[:, :self.cap, :self.d].set(self.payload)
+        ids = jnp.full((kp, cap_pad), -1, jnp.int32)
+        ids = ids.at[:, :self.cap].set(
+            jnp.where(self.bucket_ids == self.n, -1, self.bucket_ids))
+        sc = jnp.zeros((kp, cap_pad), jnp.float32)
+        sc = sc.at[:, :self.cap].set(self.scale)
+        ns = jnp.zeros((kp, cap_pad), jnp.float32)
+        ns = ns.at[:, :self.cap].set(self.nsq)
+        cent = jnp.zeros((kp, d_pad), jnp.float32)
+        cent = cent.at[:, :self.d].set(self.bucket_cent)
+        self._ptab = (pay, sc, ns, ids, cent, cap_pad, d_pad)
+        return self._ptab
+
     def search_device(self, queries, k: int = 10, nprobe: int = 32,
                       rescore_factor: int = 4):
         q = self._norm_q(queries)
         nprobe = min(nprobe, self.bucket_cent.shape[0])
         k = min(k, self.n)
         c = min(max(rescore_factor * k, k), self.n)
+        if self._use_pallas():
+            pay, sc, ns, ids, cent, cap_pad, d_pad = self._pallas_tables()
+            return _ivf8_search_pallas_jit(
+                jnp.asarray(q), self.bucket_cent, pay, sc, ns, ids, cent,
+                k=k, c=c, nprobe=nprobe, metric=self.metric,
+                cap_pad=cap_pad, d_pad=d_pad,
+            )
         return _ivf8_search_jit(
             jnp.asarray(q), self.bucket_cent, self.bucket_ids,
             self.payload, self.scale, self.nsq,
@@ -192,6 +227,21 @@ class IvfInt8Engine:
         nprobe = min(nprobe, self.bucket_cent.shape[0])
         k = min(k, self.n)
         c = min(max(rescore_factor * k, k), self.n)
+
+        if self._use_pallas():
+            pay, sc, ns, ids_t, cent, cap_pad, d_pad = \
+                self._pallas_tables()
+
+            def body(_, q):
+                out = _ivf8_search_pallas_jit(
+                    q, self.bucket_cent, pay, sc, ns, ids_t, cent,
+                    k=k, c=c, nprobe=nprobe, metric=self.metric,
+                    cap_pad=cap_pad, d_pad=d_pad,
+                )
+                return None, out
+
+            _, (ids, scores) = jax.lax.scan(body, None, qs)
+            return ids, scores
 
         def body(_, q):
             out = _ivf8_search_jit(
@@ -231,6 +281,75 @@ class IvfInt8Engine:
         return calibrate_nprobe_ladder(
             self, base, idx, target_recall=target_recall, k=k,
             ladder=ladder, seed=seed)
+
+
+def _ivf8_search_pallas_impl(
+    queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
+    k: int, c: int, nprobe: int, metric: str, cap_pad: int, d_pad: int,
+    interpret: bool = False,
+):
+    """Pallas-scan variant (VERDICT r5 #5 A/B): the probe loop's
+    take-gather becomes DMA-pipelined bucket blocks
+    (pallas_kernels.ivf8_bucket_scores); candidate positions come from
+    the probe table, so only the top-C rescore gathers rows."""
+    from leann_tpu.ops.pallas_kernels import ivf8_bucket_scores
+
+    b, d = queries.shape
+    q_pad = queries
+    if d != d_pad:
+        q_pad = jnp.zeros((b, d_pad), jnp.float32).at[:, :d].set(queries)
+
+    c_scores = pairwise_scores(queries, bucket_cent, metric)
+    _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
+
+    scores = ivf8_bucket_scores(
+        q_pad, probe, payload, scale, nsq, ids, cent_pad,
+        metric=metric, interpret=interpret,
+    )                                                        # [B, P, cap]
+    pos = probe[:, :, None] * cap_pad + jax.lax.broadcasted_iota(
+        jnp.int32, (b, nprobe, cap_pad), 2)
+    cc = min(c, cap_pad * nprobe)
+    cand_scores, sel = jax.lax.top_k(
+        scores.reshape(b, nprobe * cap_pad), cc)
+    cand_pos = jnp.take_along_axis(
+        pos.reshape(b, nprobe * cap_pad), sel, axis=1)       # [B, C]
+
+    # exact f32 rescore from the padded payload (same math as the XLA
+    # path; the [B, C] row gather is the only gather left)
+    rows = payload.reshape(-1, d_pad)[cand_pos].astype(jnp.float32)
+    rows = rows * scale.reshape(-1)[cand_pos][:, :, None]
+    rows = rows + cent_pad[cand_pos // cap_pad]
+    dots = jnp.einsum(
+        "bcd,bd->bc", rows, q_pad,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gids = ids.reshape(-1)[cand_pos]                         # [B, C]
+    out = 2.0 * dots - nsq.reshape(-1)[cand_pos] if metric == "l2" \
+        else dots
+    out = jnp.where(
+        (gids < 0) | (cand_scores == NEG_INF), NEG_INF, out)
+    top_scores, sel = jax.lax.top_k(out, k)
+    top_ids = jnp.take_along_axis(gids, sel, axis=1)
+    top_ids = jnp.where(top_scores == NEG_INF, -1, top_ids)
+    return top_ids, top_scores
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "c", "nprobe", "metric", "cap_pad", "d_pad",
+                     "interpret"),
+)
+def _ivf8_search_pallas_jit(
+    queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
+    k: int, c: int, nprobe: int, metric: str, cap_pad: int, d_pad: int,
+    interpret: bool = False,
+):
+    return _ivf8_search_pallas_impl(
+        queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
+        k=k, c=c, nprobe=nprobe, metric=metric, cap_pad=cap_pad,
+        d_pad=d_pad, interpret=interpret,
+    )
 
 
 @functools.partial(

@@ -266,9 +266,20 @@ def make_handler(state: ServerState, cors: bool):
     return Handler
 
 
+class _LeannHTTPServer(ThreadingHTTPServer):
+    # socketserver's default listen backlog is 5; a client fleet opening
+    # its connections simultaneously (every benchmark phase start, any
+    # load-balancer health-check burst) overflows it and the kernel
+    # RSTs the overflow — the "errors: 8/4/2" rows in r4 and the 26
+    # resets in the first r5 slot-gate run, all at connection-storm
+    # moments. 128 matches what production WSGI servers request.
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def serve(
     state: ServerState, host: str = "127.0.0.1", port: int = 3000,
     cors: bool = False,
 ) -> ThreadingHTTPServer:
-    server = ThreadingHTTPServer((host, port), make_handler(state, cors))
+    server = _LeannHTTPServer((host, port), make_handler(state, cors))
     return server

@@ -78,3 +78,40 @@ def test_ivf_rescore_restores_f32_ranking():
         assert len(common) >= 9
         for i in common:
             assert abs(got[i] - ref[i]) < 1e-2
+
+
+def test_ivf8_pallas_scan_matches_xla(monkeypatch):
+    """The DMA-pipelined ivf8 bucket scan (LEANN_IVF8_PALLAS=1) must
+    return the same ids/scores as the XLA take-gather scan: same
+    residual-int8 math, same probe set, same f32 rescore."""
+    import jax.numpy as jnp
+
+    from leann_tpu.ops.ivf_int8 import (
+        IvfInt8Engine,
+        _ivf8_search_pallas_jit,
+    )
+
+    x = make_corpus(3000, 64, seed=3, clusters=24)
+    eng = IvfInt8Engine(x, n_clusters=24, metric="l2")
+    q = x[[7, 1500, 2999]] + 0.01
+
+    idx_xla, sc_xla = eng.search(q, k=10, nprobe=8, rescore_factor=4)
+
+    qn = eng._norm_q(q)
+    b = qn.shape[0]
+    bb = 8
+    while bb < b:
+        bb *= 2
+    qp = np.concatenate([qn, np.zeros((bb - b, eng.d), np.float32)])
+    pay, sc, ns, ids_t, cent, cap_pad, d_pad = eng._pallas_tables()
+    k_, c_ = 10, 40
+    idx_pal, sc_pal = _ivf8_search_pallas_jit(
+        jnp.asarray(qp), eng.bucket_cent, pay, sc, ns, ids_t, cent,
+        k=k_, c=c_, nprobe=8, metric=eng.metric,
+        cap_pad=cap_pad, d_pad=d_pad, interpret=True,
+    )
+    idx_pal = np.asarray(idx_pal)[:b]
+    sc_pal = np.asarray(sc_pal)[:b]
+    for a, p_row in zip(idx_xla, idx_pal):
+        assert len(set(a.tolist()) & set(p_row.tolist())) >= 9
+    np.testing.assert_allclose(sc_xla[:, 0], sc_pal[:, 0], rtol=1e-3)
