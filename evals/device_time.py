@@ -185,6 +185,8 @@ def main():
             flops_per_batch = 2.0 * b * d * (nprobe * cap + nb)
             bytes_per_batch = min(nb, b * nprobe) * cap * d * 1.0
             knobs = f"clusters={eng.n_clusters}, nprobe={nprobe}, cap={cap}"
+            if os.environ.get("LEANN_IVF8_PALLAS") == "1":
+                knobs += ", pallas-scan"
             rec_ids, _ = eng.search_device(
                 jnp.asarray(rq), k=args.k, nprobe=nprobe)
         elif backend == "vamana":

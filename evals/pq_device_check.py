@@ -60,10 +60,14 @@ def main():
     ap.add_argument("--rescore", default="f32")
     ap.add_argument("--artifact", default=None)
     ap.add_argument("--corpus", default="bench",
-                    choices=["bench", "lowdim"],
+                    choices=["bench", "lowdim", "text"],
                     help="bench = the shared mixture pool; lowdim = "
                          "intrinsic-dim-16 corpus (the PQ engine's "
-                         "positive regime, RESULTS_r3 section 2)")
+                         "positive regime, RESULTS_r3 section 2); "
+                         "text = 768-d BERT-fixture embeddings of "
+                         "zipf text chunks (VERDICT r4 #8: does the "
+                         "DEEP-100M per-shard story survive contact "
+                         "with text embeddings?)")
     ap.add_argument("--lowdim-k", type=int, default=16)
     ap.add_argument("--opq", action="store_true",
                     help="learn an OPQ rotation; folded into the LUT, "
@@ -97,6 +101,31 @@ def main():
             np.random.default_rng(0), n + args.recall_q, d,
             args.lowdim_k, clusters=1024)
         tag = f"lowdim{args.lowdim_k}"
+    elif args.corpus == "text":
+        # real text-shaped embeddings: the BERT fixture (bert-base
+        # geometry) over zipf-vocabulary chunks — the same encoder
+        # whose space config-3 serves. L2-normalized so l2 top-k ==
+        # cosine top-k (matches how text indexes ship).
+        cache = os.path.join(
+            adir, f"bertpool_n{n + args.recall_q}_d768.npy")
+        if os.path.exists(cache):
+            pool = np.load(cache)
+        else:
+            from hybrid_latency import make_texts
+
+            from leann_tpu.models.bert import BertConfig, BertEncoder
+
+            enc = BertEncoder(config=BertConfig())
+            texts = make_texts(n + args.recall_q, seed=11)
+            t0 = time.time()
+            pool = np.asarray(
+                enc.embed(texts, batch_size=512), dtype=np.float32)
+            log(f"embedded {len(texts)} texts in {time.time()-t0:.0f}s")
+            pool = pool / (
+                np.linalg.norm(pool, axis=1, keepdims=True) + 1e-12)
+            np.save(cache, pool)
+        d = args.d = pool.shape[1]
+        tag = "text"
     else:
         from corpus_cache import get_pool
 
@@ -106,7 +135,7 @@ def main():
 
     if args.artifact:
         art = args.artifact
-    elif args.corpus == "lowdim":
+    elif args.corpus in ("lowdim", "text"):
         art = os.path.join(adir, f"vamana_{tag}_n{n}_d{d}_r48_l80.npz")
         if not os.path.exists(art):
             from leann_tpu.ops.vamana import build_vamana
