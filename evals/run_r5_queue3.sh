@@ -28,6 +28,16 @@ run() { # name, timeout_s, cmd...
   fi
 }
 
+# re-queued from queue1: its first attempt started 13s after the
+# previous chip client exited and wedged on a mid-restart worker
+# (etime 12m, cpu 7s — no dispatch ever completed)
+run recompute_100k_dedup 7200 \
+  env RS_N=100000 RS_R=48 RS_L=96 RS_BEAMS=64,96 RS_VISITED=512 \
+      LEANN_BUILD_STALL_S=900 \
+  python evals/recompute_scale.py
+
+sleep 45
+
 run ivf8_pallas_10m 4800 \
   env LEANN_IVF8_PALLAS=1 \
   python evals/device_time.py --backend ivf8 --n 10000000 --d 96 --b 512
@@ -36,9 +46,13 @@ run pq_text_m64 5400 \
   python evals/pq_device_check.py --n 200000 --corpus text --m 64 --opq \
     --b 2048 --beam 64 --visited 256
 
-run curve_w0 2400 \
+run curve_w0 3000 \
   bash -c '
     for c in 8 64 128; do
+      # settle: starting a chip client seconds after the previous one
+      # exits can catch the TPU worker mid-restart ("TPU backend error
+      # (Internal)" killed the w8 64-client run, queue1)
+      sleep 45
       python evals/hybrid_latency.py --n 1000000 --d 128 --clients $c \
         --duration 20 --windows 0
     done'
