@@ -168,12 +168,18 @@ def _make_ivf8_kernel(metric: str, neg_inf: float):
     def kernel(probe_ref, q_ref, pay_ref, scale_ref, nsq_ref, ids_ref,
                cent_ref, o_ref):
         # probe_ref: [B, P] int32 scalar prefetch (SMEM)
-        # q_ref:     [1, D_pad] f32   — this program's query
+        # q_ref:     [1, 1, D_pad] f32 — this program's query
         # pay_ref:   [1, cap_pad, D_pad] int8 — probed bucket's payload
-        # scale_ref/nsq_ref/ids_ref: [1, cap_pad] f32/f32/int32
-        # cent_ref:  [1, D_pad] f32  — bucket centroid (dup per overflow)
-        # o_ref:     [1, 1, cap_pad] f32 masked scores
-        q = q_ref[:].astype(jnp.bfloat16)                   # [1, D]
+        # scale_ref/nsq_ref/ids_ref: [1, 1, cap_pad] f32/f32/int32
+        # cent_ref:  [1, 1, D_pad] f32 — bucket centroid (dup per
+        #            overflow block)
+        # o_ref:     [1, 1, 1, cap_pad] f32 masked scores
+        # (2-D operands ride with a singleton middle dim: Mosaic
+        # requires each block's minor two dims be (8k, 128k) or equal
+        # to the array's — a [1, D] block over [B, D] violates that,
+        # a [1, 1, D] block over [B, 1, D] is whole-array in the minor
+        # dims and always legal)
+        q = q_ref[0].astype(jnp.bfloat16)                   # [1, D]
         # Mosaic lowers neither matvecs nor batched dots: replicate the
         # query to 8 columns and keep column 0 (MXU waste is noise next
         # to the DMA bytes)
@@ -182,13 +188,13 @@ def _make_ivf8_kernel(metric: str, neg_inf: float):
         rd = jnp.dot(pay, q8, preferred_element_type=jnp.float32)
         rdots = rd[:, 0][None, :]                           # [1, cap]
         # residual payload: x = c + s*r8 -> <q,x> = <q,c> + s<q,r8>
-        cdot = jnp.sum(cent_ref[:] * q_ref[:])              # scalar
-        dots = cdot + rdots * scale_ref[:]
+        cdot = jnp.sum(cent_ref[0] * q_ref[0])              # scalar
+        dots = cdot + rdots * scale_ref[0]
         if metric == "l2":
-            scores = 2.0 * dots - nsq_ref[:]
+            scores = 2.0 * dots - nsq_ref[0]
         else:
             scores = dots
-        o_ref[0] = jnp.where(ids_ref[:] == -1, neg_inf, scores)
+        o_ref[0, 0] = jnp.where(ids_ref[0] == -1, neg_inf, scores)
 
     return kernel
 
@@ -225,25 +231,31 @@ def ivf8_bucket_scores(
         num_scalar_prefetch=1,
         grid=(b, p),
         in_specs=[
-            pl.BlockSpec((1, d_pad), lambda i, j, pref: (i, 0)),
+            pl.BlockSpec((1, 1, d_pad), lambda i, j, pref: (i, 0, 0)),
             pl.BlockSpec(
                 (1, cap_pad, d_pad),
                 lambda i, j, pref: (pref[i, j], 0, 0)),
-            pl.BlockSpec((1, cap_pad), lambda i, j, pref: (pref[i, j], 0)),
-            pl.BlockSpec((1, cap_pad), lambda i, j, pref: (pref[i, j], 0)),
-            pl.BlockSpec((1, cap_pad), lambda i, j, pref: (pref[i, j], 0)),
-            pl.BlockSpec((1, d_pad), lambda i, j, pref: (pref[i, j], 0)),
+            pl.BlockSpec(
+                (1, 1, cap_pad), lambda i, j, pref: (pref[i, j], 0, 0)),
+            pl.BlockSpec(
+                (1, 1, cap_pad), lambda i, j, pref: (pref[i, j], 0, 0)),
+            pl.BlockSpec(
+                (1, 1, cap_pad), lambda i, j, pref: (pref[i, j], 0, 0)),
+            pl.BlockSpec(
+                (1, 1, d_pad), lambda i, j, pref: (pref[i, j], 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, cap_pad), lambda i, j, pref: (i, j, 0)),
+            (1, 1, 1, cap_pad), lambda i, j, pref: (i, j, 0, 0)),
     )
     neg_inf = float("-inf")
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _make_ivf8_kernel(metric, neg_inf),
-        out_shape=jax.ShapeDtypeStruct((b, p, cap_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, p, 1, cap_pad), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(probe, queries, payload, scale, nsq, ids, cent)
+    )(probe, queries[:, None, :], payload, scale[:, None, :],
+      nsq[:, None, :], ids[:, None, :], cent[:, None, :])
+    return out[:, :, 0, :]
 
 
 @functools.partial(

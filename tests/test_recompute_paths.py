@@ -17,6 +17,21 @@ import numpy as np
 import pytest
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_compile_state():
+    """Run this module's compiles with an empty jit cache. By the time
+    the full suite reaches the segmented-traversal compile it holds
+    hundreds of live CPU executables, and the XLA CPU compiler
+    segfaults inside backend_compile_and_load — reproducible at suite
+    scale, never in isolation, and bisection showed no single earlier
+    file triggers it (the two halves of the preceding suite each pass;
+    only their union crashes). Dropping the accumulated executables
+    before compiling here keeps the compiler inside its envelope."""
+    import jax
+
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="module")
 def tiny_recompute_setup():
     from leann_tpu.models.bert import BertConfig, BertEncoder
