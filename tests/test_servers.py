@@ -532,5 +532,8 @@ def test_server_state_warm(tmp_index_base):
         max_batch=8)
     try:
         assert state.warm() == 4  # buckets 1, 2, 4, 8
+        # non-pow-2 max_batch (ADVICE r4): a flush of 5-6 rows pads to
+        # bucket 8, so warm must compile PAST mb, not stop at b == mb
+        assert state.warm(max_batch=6) == 4  # buckets 1, 2, 4, 8
     finally:
         state.batcher.close()
