@@ -138,7 +138,7 @@ def _write_ckpt(path, key, pass_i, next_start, adjacency_dev, n):
 # watchdog would false-trigger when its pass ends but the process
 # lives on in the next pass).
 _HEARTBEAT = {"t": 0.0}
-_WATCHDOG_ON = False
+_WATCHDOG = {"thread": False, "active": False}
 
 
 def _arm_watchdog(stall_s: float):
@@ -147,18 +147,20 @@ def _arm_watchdog(stall_s: float):
     (observed r4: a 10M build silent 55+ min at wave 750, chip healthy
     for new clients); exiting lets an outer retry loop resume from the
     wave checkpoint instead of losing hours."""
-    global _WATCHDOG_ON
-    if _WATCHDOG_ON:
-        return
-    _WATCHDOG_ON = True
     import threading
     import time as _t
 
     _HEARTBEAT["t"] = _t.time()
+    _WATCHDOG["active"] = True
+    if _WATCHDOG["thread"]:
+        return
+    _WATCHDOG["thread"] = True
 
     def _watch():
         while True:
             _t.sleep(min(30.0, stall_s / 4))
+            if not _WATCHDOG["active"]:
+                continue
             if _t.time() - _HEARTBEAT["t"] > stall_s:
                 print(f"[vamana] WATCHDOG: no wave progress in "
                       f"{stall_s:.0f}s — exiting 17 for resume",
@@ -166,6 +168,14 @@ def _arm_watchdog(stall_s: float):
                 os._exit(17)
 
     threading.Thread(target=_watch, daemon=True).start()
+
+
+def _disarm_watchdog():
+    """Called when a build returns: the process may live on (evals
+    prune + sweep after building), and 'no wave progress' is the
+    normal state then — r5: the config-3 1M sweep was killed 900s
+    after its own build finished, mid-compile, by the armed watchdog."""
+    _WATCHDOG["active"] = False
 
 
 def build_vamana(
@@ -340,6 +350,7 @@ def build_vamana(
             )
 
     adj_final = np.asarray(adjacency[:n])
+    _disarm_watchdog()
     return adj_final, medoid
 
 
