@@ -286,6 +286,7 @@ class IvfInt8Engine:
 def _ivf8_search_pallas_impl(
     queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
     k: int, c: int, nprobe: int, metric: str, cap_pad: int, d_pad: int,
+    chunk: int = 256,
     interpret: bool = False,
 ):
     """Pallas-scan variant (VERDICT r5 #5 A/B): the probe loop's
@@ -302,10 +303,30 @@ def _ivf8_search_pallas_impl(
     c_scores = pairwise_scores(queries, bucket_cent, metric)
     _, probe = jax.lax.top_k(c_scores, nprobe)               # [B, P]
 
-    scores = ivf8_bucket_scores(
-        q_pad, probe, payload, scale, nsq, ids, cent_pad,
-        metric=metric, interpret=interpret,
-    )                                                        # [B, P, cap]
+    # chunk the batch through the kernel: the probe table is a scalar-
+    # prefetch operand and lives in SMEM (1MB total on v5e) — at
+    # B=2048, P=8 Mosaic's padded copy overflowed it by 1.1KB (r5
+    # hardware row). 256-query chunks keep the table ~1/8th of the
+    # budget; lax.map serializes the chunks, which costs only the
+    # per-dispatch ramp (the grid is per-(query, probe) either way).
+    if b > chunk and b % chunk == 0:
+        def _chunk_scores(t):
+            qc, pc = t
+            return ivf8_bucket_scores(
+                qc, pc, payload, scale, nsq, ids, cent_pad,
+                metric=metric, interpret=interpret,
+            )
+
+        scores = jax.lax.map(
+            _chunk_scores,
+            (q_pad.reshape(b // chunk, chunk, d_pad),
+             probe.reshape(b // chunk, chunk, nprobe)),
+        ).reshape(b, nprobe, cap_pad)                        # [B, P, cap]
+    else:
+        scores = ivf8_bucket_scores(
+            q_pad, probe, payload, scale, nsq, ids, cent_pad,
+            metric=metric, interpret=interpret,
+        )                                                    # [B, P, cap]
     pos = probe[:, :, None] * cap_pad + jax.lax.broadcasted_iota(
         jnp.int32, (b, nprobe, cap_pad), 2)
     cc = min(c, cap_pad * nprobe)
@@ -338,17 +359,35 @@ def _ivf8_search_pallas_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "c", "nprobe", "metric", "cap_pad", "d_pad",
-                     "interpret"),
+                     "chunk", "interpret"),
 )
+def _ivf8_search_pallas_jit2(
+    queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
+    k: int, c: int, nprobe: int, metric: str, cap_pad: int, d_pad: int,
+    chunk: int, interpret: bool = False,
+):
+    return _ivf8_search_pallas_impl(
+        queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
+        k=k, c=c, nprobe=nprobe, metric=metric, cap_pad=cap_pad,
+        d_pad=d_pad, chunk=chunk, interpret=interpret,
+    )
+
+
 def _ivf8_search_pallas_jit(
     queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
     k: int, c: int, nprobe: int, metric: str, cap_pad: int, d_pad: int,
     interpret: bool = False,
 ):
-    return _ivf8_search_pallas_impl(
+    """Env-tunable chunk size resolved OUTSIDE the jit: the chunk is a
+    static arg, so changing LEANN_IVF8_PALLAS_CHUNK retraces instead of
+    silently reusing the cached executable's old value."""
+    import os
+
+    chunk = int(os.environ.get("LEANN_IVF8_PALLAS_CHUNK", "256") or 256)
+    return _ivf8_search_pallas_jit2(
         queries, bucket_cent, payload, scale, nsq, ids, cent_pad,
         k=k, c=c, nprobe=nprobe, metric=metric, cap_pad=cap_pad,
-        d_pad=d_pad, interpret=interpret,
+        d_pad=d_pad, chunk=chunk, interpret=interpret,
     )
 
 

@@ -115,3 +115,18 @@ def test_ivf8_pallas_scan_matches_xla(monkeypatch):
     for a, p_row in zip(idx_xla, idx_pal):
         assert len(set(a.tolist()) & set(p_row.tolist())) >= 9
     np.testing.assert_allclose(sc_xla[:, 0], sc_pal[:, 0], rtol=1e-3)
+
+    # chunked path (B > LEANN_IVF8_PALLAS_CHUNK): the probe table is a
+    # scalar-prefetch SMEM operand and overflowed the 1MB budget at
+    # B=2048 on hardware, so big batches ride lax.map over chunks —
+    # must be bit-identical to the single-call path
+    monkeypatch.setenv("LEANN_IVF8_PALLAS_CHUNK", "4")
+    idx_ch, sc_ch = _ivf8_search_pallas_jit(
+        jnp.asarray(qp), eng.bucket_cent, pay, sc, ns, ids_t, cent,
+        k=k_, c=c_, nprobe=8, metric=eng.metric,
+        cap_pad=cap_pad, d_pad=d_pad, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(idx_ch)[:b], idx_pal)
+    np.testing.assert_allclose(
+        np.asarray(sc_ch)[:b], sc_pal, rtol=1e-6)
