@@ -49,6 +49,13 @@ run config3_1m_v3 5400 \
       LEANN_RECOMPUTE_CACHE_DTYPE=bf16 LEANN_BUILD_STALL_S=900 \
   python evals/recompute_scale.py
 
+# third hardware attempt for the 1M Pallas arm: attempt 1 died in
+# Mosaic lowering (block shapes, fixed 2670259), attempt 2 overflowed
+# SMEM with the B=2048 probe table (chunked in 377df56)
+run ivf8_pallas_1m 3600 \
+  env LEANN_IVF8_PALLAS=1 \
+  python evals/device_time.py --backend ivf8 --n 1000000 --d 128 --b 2048
+
 best=$(python - <<'EOF'
 import json
 best = 0.0
