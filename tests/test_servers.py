@@ -405,11 +405,15 @@ def test_microbatch_flush_pipeline_overlaps(tmp_index_base):
             t.join()
         elapsed = _time.time() - t0
         assert all(r is not None and len(r) == 2 for r in results)
-        # 4 x 0.5s flushes serialized = 2.0s+; depth-2 pipeline ~1.0s
-        # plus real search time. peak >= 2 is the direct overlap proof;
-        # the wall bound separates the two regimes with honest margin.
-        assert elapsed < 1.8, f"flushes serialized ({elapsed:.2f}s)"
+        # peak >= 2 is the PRIMARY assertion: two searches observed
+        # in flight at once is direct, load-independent proof of
+        # overlap (serialized flushes can never show peak > 1). The
+        # wall bound is a gross-serialization catch only: 4 x 0.5s
+        # serialized = 2.0s+ BEFORE search costs, so 2.4 separates the
+        # regimes even when this 1-vCPU box is under concurrent load
+        # (a 1.8 bound flaked when the TPU battery shared the core).
         assert getattr(slow, "peak", 1) >= 2
+        assert elapsed < 2.4, f"flushes serialized ({elapsed:.2f}s)"
     finally:
         batcher.close()
 
