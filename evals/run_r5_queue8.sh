@@ -82,4 +82,19 @@ else
   echo "--- v4 skipped: 0.95 met at R48/L96" >&2
 fi
 
+# pq-on-text retries: three ResourceExhausted failures so far, all in
+# the 200k x 768 graph build (repack_rows device_put) and all within
+# ~1 min of a heavy or abnormally-exited predecessor — while the SAME
+# build code at 1M x 768 succeeds in config-3's processes. Working
+# theory: the worker reclaims a dead client's HBM asynchronously, so
+# these run LAST with 4-minute settles.
+sleep 240
+run pq_text_m64 5400 \
+  python evals/pq_device_check.py --n 200000 --corpus text --m 64 --opq \
+    --b 2048 --beam 64 --visited 256
+sleep 240
+run pq_text_m16 3600 \
+  python evals/pq_device_check.py --n 200000 --corpus text --m 16 --opq \
+    --coarse 2 --b 2048 --beam 64 --visited 256
+
 echo "queue8 done $(date -u +%H:%M:%S)" >&2
