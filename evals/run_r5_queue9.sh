@@ -35,4 +35,19 @@ then
 else
   echo "--- config3_1m_v5 FAILED rc=$? $(date -u +%H:%M:%S)" >&2
 fi
+# pq-on-text m64, attempt 4: attempts 1-3 OOMed in the fused build
+# engine's repack phase — the auto heuristic (blocks < 9GB, tuned at
+# d=128) wrongly chose the fused engine for 200k x 768; with the
+# d-aware HBM peak check the auto path now takes the XLA engine
+sleep 45
+echo "=== pq_text_m64 $(date -u +%H:%M:%S) ===" >&2
+if timeout 5400 \
+  python evals/pq_device_check.py --n 200000 --corpus text --m 64 --opq \
+    --b 2048 --beam 64 --visited 256 >>"$OUT" 2>>"$LOGS/pq_text_m64.log"
+then
+  echo "--- pq_text_m64 OK $(date -u +%H:%M:%S)" >&2
+else
+  echo "--- pq_text_m64 FAILED rc=$? $(date -u +%H:%M:%S)" >&2
+fi
+
 echo "queue9 done $(date -u +%H:%M:%S)" >&2

@@ -451,12 +451,21 @@ def _insert_waves(
         from leann_tpu.ops.pallas_kernels import pallas_available
 
         blocks_gb = (n + 1) * r * d / 1e9
+        corpus_gb = 4 * (n + 1) * d / 1e9
         use_fused = (
             pallas_available()
             and d % 128 == 0
             and r <= 128
             and expansions <= 2
             and blocks_gb < 9.0
+            # HBM peak check, d-aware: the repack phase holds the int8
+            # blocks plus a transient second copy of the touched rows,
+            # alongside the f32 corpus — a 200k x 768 R=48 build
+            # (blocks 7.4GB, passing the 9GB test that was tuned at
+            # d=128) OOMed three times in repack_rows on v5e/16GB
+            # while 1M x 768 runs fine because 37GB of blocks already
+            # forces the XLA engine
+            and 2 * blocks_gb + corpus_gb + 1.0 < 14.5
             # packing the int8 inline blocks costs ~N; only worth it for
             # bulk insertion (full builds / big update batches)
             and len(order) >= 16384
