@@ -18,13 +18,17 @@ if [ -f /tmp/r5q8.pid ]; then
 fi
 sleep 45
 
-DEADLINE=${R5Q9_DEADLINE:-$(( $(date +%s) + 5400 ))}
-if [ "$(date +%s)" -ge "$DEADLINE" ]; then
-  echo "--- deadline, skipping" >&2; exit 0
-fi
+DEADLINE=${R5Q9_DEADLINE:-$(( $(date +%s) + 4800 ))}
+guard() {
+  if [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "--- deadline, skipping remaining steps $(date -u +%H:%M:%S)" >&2
+    exit 0
+  fi
+}
+guard
 
 echo "=== config3_1m_v5 $(date -u +%H:%M:%S) ===" >&2
-if timeout 3600 \
+if timeout 2400 \
   env RS_N=1000000 RS_T=48 RS_R=64 RS_L=128 RS_PASSES=2 \
       RS_BEAMS=128,160 RS_VISITED=2048 \
       LEANN_RECOMPUTE_SEEDS=8192 \
@@ -40,8 +44,9 @@ fi
 # d=128) wrongly chose the fused engine for 200k x 768; with the
 # d-aware HBM peak check the auto path now takes the XLA engine
 sleep 45
+guard
 echo "=== pq_text_m64 $(date -u +%H:%M:%S) ===" >&2
-if timeout 5400 \
+if timeout 2700 \
   python evals/pq_device_check.py --n 200000 --corpus text --m 64 --opq \
     --b 2048 --beam 64 --visited 256 >>"$OUT" 2>>"$LOGS/pq_text_m64.log"
 then
